@@ -1,0 +1,110 @@
+"""Configuration for KeypointFusion-TPU.
+
+Field names and defaults mirror the reference config singleton
+(reference config.py:2-82) so users of the reference find the same knobs,
+but this is an immutable dataclass rather than a global mutable singleton.
+"""
+
+import dataclasses
+import os.path as osp
+from typing import List, Tuple
+
+JOINT = {
+    'STB': 21,
+    'nyu': 14,
+    'dexycb': 21,
+    'ho3d': 21,
+}
+
+STEP = {
+    'STB': 20,
+    'nyu': 25,
+    'dexycb': 10,
+    'ho3d': 19,
+}
+
+EPOCH = {
+    'STB': 30,
+    'nyu': 30,
+    'dexycb': 15,
+    'ho3d': 24,
+}
+
+CUBE = {
+    'STB': [200, 200, 200],
+    'nyu': [250, 250, 250],
+    'dexycb': [250, 250, 250],
+    'ho3d': [280, 280, 280],
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    phase: str = 'train'              # ['train', 'test', 'eval']
+    root_dir: str = './data'
+
+    net: str = 'KPFusion-resnet-18'   # ['KPFusion-resnet-18', 'KPFusion-convnext-T']
+
+    dataset: str = 'dexycb'           # ['nyu', 'STB', 'dexycb', 'ho3d']
+    ho3d_version: str = 'v2'
+    model_save: str = ''
+    save_dir: str = './'
+    dexycb_setup: str = 's0'
+    pretrain: str = '1k'
+    point_num: int = 1024
+
+    load_model: str = ''
+    finetune_dir: str = ''
+
+    batch_size: int = 64
+    input_size: int = 128
+    center_type: str = 'refine'
+    loss_type: str = 'L1Loss'         # ['L1Loss', 'Mse', 'GHM']
+    augment_para: Tuple[float, float, float] = (10., 0.2, 180.)
+    color_factor: float = 0.2
+
+    lr: float = 8e-4
+    opt: str = 'adamw'                # ['sgd', 'adam', 'adamw']
+    scheduler: str = 'step'           # ['auto', 'step', 'constant']
+    step_gamma: float = 0.1
+    downsample: int = 2               # [1, 2, 4, 8]
+
+    awr: bool = True
+    coord_weight: float = 100.
+    deconv_weight: float = 1.
+    spatial_weight: Tuple[float, ...] = (10., 10., 10.)
+    spatial_epoch: Tuple[int, ...] = (24, 24, 24)
+
+    feature_type: Tuple[str, ...] = ('weight_offset',)
+    feature_para: Tuple[float, ...] = (0.8,)
+
+    # per-output supervision targets: 1 = dense pixel stage (backbones),
+    # 2/3 = 3D / 2D-refined KFAM joint stages (reference config.py:77)
+    stage_type: Tuple[int, ...] = (1, 1, 2, 3, 2, 3)
+
+    mano_path: str = osp.join('.', 'assets', 'mano')
+
+    # TPU-specific knobs (no reference equivalent)
+    compute_dtype: str = 'float32'     # bfloat16 for throughput mode
+    mesh_axis: str = 'data'            # 1-D data-parallel mesh axis name
+    sync_batchnorm: bool = True        # pjit global-batch BN stats (see parallel/)
+    seed: int = 23455                  # reference loader RNG seed (loader.py:208)
+
+    @property
+    def joint_num(self) -> int:
+        return JOINT[self.dataset]
+
+    @property
+    def cube_size(self) -> List[int]:
+        return CUBE[self.dataset]
+
+    @property
+    def max_epoch(self) -> int:
+        return EPOCH[self.dataset]
+
+    @property
+    def step_size(self) -> int:
+        return STEP[self.dataset]
+
+    def replace(self, **kw) -> 'Config':
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,178 @@
+"""Dense-map ↔ joint codecs (the AWR "weight_offset" family), TPU-native.
+
+These are the encode/decode pair the whole pipeline rides on:
+  * encode GT joints → dense offset/heatmap maps for pixel supervision
+    (reference util/generateFeature.py:59-85 `joint2offset`),
+  * decode predicted 5J-channel maps → joint coordinates
+    (reference util/generateFeature.py:166-195 `offset2joint_weight`,
+    duplicated at model/model.py:466-500),
+  * point-cloud analogues (reference generateFeature.py:465-517,
+    model/model.py:503-555),
+  * Gaussian heatmaps for the spatial-weight supervision
+    (reference generateFeature.py:584-600 `joint2heatmap`).
+
+Layout: all dense maps are NHWC. The 5J channel order matches the reference:
+[3J offsets (joint-major, i.e. ch = j*3 + axis), J heatmap, J weight].
+Each function is a single fused jnp expression — XLA fuses the mesh
+construction, masking and weighted reductions into a couple of kernels; the
+pairwise-distance reductions ride the MXU via einsum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from keypointfusion_tpu.geometry.grid import uv_grid
+from keypointfusion_tpu.ops.resize import resize_nearest_torch
+
+
+def _kernel_arr(kernel_size, joint_num):
+    """kernel may be a scalar or a per-joint [J] vector (NYU uses per-joint
+    kernels, reference loader.py:1546-1551). Returns [1, J] broadcastable."""
+    k = jnp.asarray(kernel_size, dtype=jnp.float32)
+    if k.ndim == 0:
+        k = jnp.broadcast_to(k, (joint_num,))
+    return k[None, :]
+
+
+def joint_to_offset(joint, depth, kernel_size, feature_size):
+    """Encode joints to dense unit-offset + heatmap maps (4J channels).
+
+    joint [B,J,3] normalized uvd; depth [B,H,W,1] normalized crop depth.
+    Returns [B,fs,fs,4J]. Mirrors generateFeature.py:59-85 (with its 1e-8
+    epsilon inside the sqrt).
+    """
+    b, j, _ = joint.shape
+    fs = int(feature_size)
+    depth_ds = resize_nearest_torch(depth, fs)              # [B,fs,fs,1]
+    grid = uv_grid(fs)                                      # [fs,fs,2]
+    coords = jnp.concatenate(
+        [jnp.broadcast_to(grid[None], (b, fs, fs, 2)), depth_ds], axis=-1)
+    offset = joint[:, None, None, :, :] - coords[:, :, :, None, :]
+    dist = jnp.sqrt(jnp.sum(offset ** 2, axis=-1) + 1e-8)   # [B,fs,fs,J]
+    offset_norm = offset / dist[..., None]
+    k = _kernel_arr(kernel_size, j)[:, None, None, :]
+    heatmap = (k - dist) / k
+    mask = (heatmap >= 0).astype(jnp.float32) * \
+        (depth_ds < 0.99).astype(jnp.float32)
+    offset_norm = (offset_norm * mask[..., None]).reshape(b, fs, fs, j * 3)
+    heatmap = heatmap * mask
+    return jnp.concatenate([offset_norm, heatmap], axis=-1)
+
+
+def offset_to_joint_weight(offset_map, depth, kernel_size):
+    """Decode a predicted 5J map to joints via learned softmax weights.
+
+    offset_map [B,H,W,5J]; depth [B,·,·,1] (nearest-resized to H internally).
+    Mirrors generateFeature.py:166-195 / model/model.py:466-500.
+    """
+    b, h, w, c = offset_map.shape
+    j = c // 5
+    depth_ds = resize_nearest_torch(depth, h)               # [B,H,W,1]
+    grid = uv_grid(h)
+    coords = jnp.concatenate(
+        [jnp.broadcast_to(grid[None], (b, h, w, 2)), depth_ds], axis=-1)
+    coords = coords.reshape(b, h * w, 1, 3)
+
+    offset_unit = offset_map[..., :3 * j].reshape(b, h * w, j, 3)
+    heatmap = offset_map[..., 3 * j:4 * j].reshape(b, h * w, j)
+    weight = offset_map[..., 4 * j:].reshape(b, h * w, j)
+
+    depth_flat = depth_ds.reshape(b, h * w, 1)
+    mask = (depth_flat < 0.99).astype(offset_map.dtype)
+    offset_masked = offset_unit * mask[..., None]
+    heatmap_masked = heatmap * mask
+    weight_masked = jnp.where(depth_flat > 0.99, -1e8, weight)
+    normal_weight = jax.nn.softmax(weight_masked, axis=1)    # over pixels
+
+    k = _kernel_arr(kernel_size, j)[:, None, :]              # [1,1,J]
+    dist = k - heatmap_masked * k
+    contrib = (offset_masked * dist[..., None] + coords) * \
+        normal_weight[..., None]
+    return jnp.sum(contrib, axis=1)                          # [B,J,3]
+
+
+def offset_to_joint_softmax(offset_map, depth, kernel_size, scale=30.0):
+    """Decode a 4J map (no weight channel) via scaled-heatmap softmax —
+    the 'offset' feature type (generateFeature.py:116-136)."""
+    b, h, w, c = offset_map.shape
+    j = c // 4
+    depth_ds = resize_nearest_torch(depth, h)
+    grid = uv_grid(h)
+    coords = jnp.concatenate(
+        [jnp.broadcast_to(grid[None], (b, h, w, 2)), depth_ds], axis=-1)
+    coords = coords.reshape(b, h * w, 1, 3)
+
+    offset_unit = offset_map[..., :3 * j].reshape(b, h * w, j, 3)
+    heatmap = offset_map[..., 3 * j:].reshape(b, h * w, j)
+    depth_flat = depth_ds.reshape(b, h * w, 1)
+    mask = (depth_flat < 0.99).astype(offset_map.dtype)
+    offset_masked = offset_unit * mask[..., None]
+    heatmap_masked = heatmap * mask
+    normal_heatmap = jax.nn.softmax(heatmap_masked * scale, axis=1)
+
+    k = _kernel_arr(kernel_size, j)[:, None, :]
+    dist = k - heatmap_masked * k
+    contrib = (offset_masked * dist[..., None] + coords) * \
+        normal_heatmap[..., None]
+    return jnp.sum(contrib, axis=1)
+
+
+def joint_to_heatmap(joint_uv, std, heatmap_size, sigma=1.5):
+    """Gaussian heatmaps from normalized uv (generateFeature.py:584-600).
+
+    joint_uv [B,J,2] in [-1,1]. Returns [B,S,S,J] (NHWC)."""
+    b, j, _ = joint_uv.shape
+    s = int(heatmap_size)
+    px = (jnp.arange(s, dtype=jnp.float32) + 0.5)
+    mesh_x = jnp.broadcast_to(px[None, :], (s, s))           # column coord
+    mesh_y = jnp.broadcast_to(px[:, None], (s, s))           # row coord
+    jx = (joint_uv[..., 0] + 1.0) / 2.0 * s                  # [B,J]
+    jy = (joint_uv[..., 1] + 1.0) / 2.0 * s
+    dx = (mesh_x[None, :, :, None] - jx[:, None, None, :]) / std
+    dy = (mesh_y[None, :, :, None] - jy[:, None, None, :]) / std
+    return jnp.exp(-(dx ** 2 + dy ** 2) / (2.0 * sigma ** 2))
+
+
+def pcl_joint_to_offset(joint, pcl, kernel_size):
+    """Encode joints against a point cloud → [B,N,4J] (3J unit offsets
+    joint-major + J closeness). Mirrors model/model.py:503-525 (note: the
+    model-side copy has no epsilon inside the sqrt; the division epsilon
+    1e-8 is kept)."""
+    b, j, _ = joint.shape
+    n = pcl.shape[1]
+    offset = joint[:, :, None, :] - pcl[:, None, :, :]       # [B,J,N,3]
+    dis = jnp.sqrt(jnp.sum(offset ** 2, axis=-1))            # [B,J,N]
+    offset_norm = offset / (dis[..., None] + 1e-8)
+    k = _kernel_arr(kernel_size, j)[..., None]               # [1,J,1]
+    closeness = (k - dis) / k
+    mask = (closeness >= 0).astype(jnp.float32) * \
+        (pcl[:, None, :, 2] < 0.99).astype(jnp.float32)
+    closeness = closeness * mask
+    offset_norm = offset_norm * mask[..., None]
+    # channel order [B, N, J*3 + J], joint-major offsets
+    off_flat = jnp.transpose(offset_norm, (0, 2, 1, 3)).reshape(b, n, j * 3)
+    return jnp.concatenate([off_flat, jnp.transpose(closeness, (0, 2, 1))],
+                           axis=-1)
+
+
+def pcl_offset_to_joint_weight(pcl_result, pcl, kernel_size):
+    """Decode per-point 5J predictions to joints (model/model.py:528-555).
+
+    pcl_result [B,N,5J]; pcl [B,N,3]. Returns [B,J,3]."""
+    b, n, c = pcl_result.shape
+    j = c // 5
+    offset = pcl_result[..., :3 * j].reshape(b, n, j, 3)
+    heatmap = pcl_result[..., 3 * j:4 * j]                   # [B,N,J]
+    weight = pcl_result[..., 4 * j:]
+
+    invalid = (pcl[..., 2:] > 0.99)                          # [B,N,1]
+    weight_masked = jnp.where(invalid, -1e8, weight)
+    normal_weight = jax.nn.softmax(weight_masked, axis=1)    # over points
+
+    k = _kernel_arr(kernel_size, j)[:, None, :]              # [1,1,J]
+    dist = k - heatmap * k
+    contrib = (offset * dist[..., None] + pcl[:, :, None, :]) * \
+        normal_weight[..., None]
+    return jnp.sum(contrib, axis=1)

@@ -1,0 +1,42 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding tests run anywhere (the driver validates the real multi-chip path
+separately via __graft_entry__.dryrun_multichip)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def ref_gfm():
+    """The reference GFM codec object (torch CPU), for golden parity tests.
+
+    Reference code is imported read-only purely as a test oracle."""
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    import sys
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from util.generateFeature import GFM  # type: ignore
+    except Exception as e:  # scipy.ndimage.morphology may be gone
+        pytest.skip(f"reference GFM unimportable: {e}")
+    return GFM()
