@@ -1,0 +1,90 @@
+"""KPFusion — the flagship dual-backbone RGB-D keypoint fusion model.
+
+Rebuilds reference model/model.py:354-426 as a pure Flax module over NHWC
+inputs and an explicit CropFrame (instead of the dataset object the reference
+threads through forward). Outputs match the reference `result` list layout
+[img_offset, img_offset_rgb, b1_3d, b1_2d, b2_3d, b2_2d] aligned with
+config.stage_type = (1,1,2,3,2,3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from keypointfusion_tpu.geometry.camera import CropFrame, uvd_nl_to_xyz_nl
+from keypointfusion_tpu.geometry.pcl import img_to_pcl_index
+from keypointfusion_tpu.ops.codecs import offset_to_joint_weight
+from keypointfusion_tpu.ops.resize import resize_nearest_torch
+from keypointfusion_tpu.models.unet import ResNetUNet
+from keypointfusion_tpu.models.fusion_block import FusionBlock
+
+
+def _backbone(net: str, joint_num: int, dtype, name: str):
+    if 'convnext' in net:
+        from keypointfusion_tpu.models.convnext import ConvNeXtUNet
+        size = net.split('-')[-1]
+        return ConvNeXtUNet(size=size, joint_num=joint_num, deconv_dim=128,
+                            out_dims=(joint_num * 3, joint_num, joint_num),
+                            dtype=dtype, name=name)
+    depth = int(net.split('-')[-1])
+    return ResNetUNet(depth=depth, joint_num=joint_num, deconv_dim=128,
+                      out_dims=(joint_num * 3, joint_num, joint_num),
+                      dtype=dtype, name=name)
+
+
+class KPFusion(nn.Module):
+    net: str = 'KPFusion-resnet-18'
+    joint_num: int = 21
+    num_stages: int = 2
+    dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, depth, pcl, frame: CropFrame,
+                 kernel: float = 0.8, train: bool = False):
+        """rgb [B,S,S,3], depth [B,S,S,1] (normalized crop, background=1),
+        pcl [B,N,3] normalized xyz.
+
+        Returns (results, spatial_weights):
+          results = (img_offset [B,32,32,5J], img_offset_rgb [B,32,32,5J],
+                     b1_3d [B,J,3], b1_2d, b2_3d, b2_2d)
+          spatial_weights = tuple of [B,32,32,J] per stage.
+        """
+        j = self.joint_num
+        backbone_d = _backbone(self.net, j, self.dtype, 'backbone_d')
+        backbone_rgb = _backbone(self.net, j, self.dtype, 'backbone_rgb')
+
+        img_offset, img_feat = backbone_d(depth, train)
+        img_offset_rgb, img_feat_rgb = backbone_rgb(rgb, train)
+        h = img_feat.shape[1]
+
+        joint_uvd = jax.lax.stop_gradient(
+            offset_to_joint_weight(img_offset, depth, kernel))
+        img_offset_sg = jax.lax.stop_gradient(img_offset)
+        weight_map = img_offset_sg[..., 4 * j:5 * j]           # [B,H,W,J]
+
+        img_down = resize_nearest_torch(depth, h)
+        joint_xyz = uvd_nl_to_xyz_nl(joint_uvd, frame)
+        pcl_closeness, pcl_index = img_to_pcl_index(pcl, img_down, frame,
+                                                    select_num=4)
+
+        results = [img_offset, img_offset_rgb]
+        spatial_weights = []
+        updated_2d_feature: Optional[jnp.ndarray] = None
+        for i in range(self.num_stages):
+            refined_3d, refined_2d, updated_2d_feature, sw = FusionBlock(
+                joint_num=j, dim=self.dim, dtype=self.dtype,
+                name=f'block{i + 1}')(
+                img_feat, img_feat_rgb, pcl, joint_xyz, pcl_closeness,
+                pcl_index, weight_map, updated_2d_feature, frame, img_down,
+                kernel, train)
+            results.append(refined_3d)
+            results.append(refined_2d)
+            spatial_weights.append(sw)
+            joint_xyz = refined_2d
+
+        return tuple(results), tuple(spatial_weights)
