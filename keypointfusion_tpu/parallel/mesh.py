@@ -1,0 +1,42 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's torch.nn.DataParallel (reference train.py:81, demo_RGBD.py:49).
+
+KPFusion is a small-activation CNN pipeline over 128x128 crops, so the
+scaling axis is the batch: a 1-D mesh with batch-axis sharding. Under jit,
+XLA inserts the gradient all-reduce over ICI automatically; BatchNorm
+statistics become global-batch (sync-BN) because reductions follow SPMD
+semantics — a quality upgrade over the reference's per-GPU BN, noted in
+SURVEY.md §5.8 (parity-exact per-shard BN would require shard_map; exposed
+via Config.sync_batchnorm for future use).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis: str = 'data') -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
+    """Place every [B, ...] array in the pytree with its batch dim sharded
+    over the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

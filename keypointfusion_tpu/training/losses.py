@@ -1,0 +1,74 @@
+"""Per-stage loss assembly (reference train.py:211-261).
+
+stage_type semantics (reference config.py:77):
+  1 — dense pixel stage: smooth-L1 on the first 4J channels of the dense map
+      against the GT encoding (deconv_weight) + smooth-L1 on the decoded
+      joints vs uvd GT (coord_weight);
+  2/3 — KFAM joint stages: smooth-L1 on xyz joints vs xyz GT (coord_weight).
+Spatial-weight maps are supervised with max-normalized gaussians, sigma 3
+for block 1 and sigma 2 for block 2, gated by epoch <= spatial_epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from keypointfusion_tpu.config import Config
+from keypointfusion_tpu.geometry.camera import CropFrame
+from keypointfusion_tpu.ops.codecs import (
+    joint_to_offset, offset_to_joint_weight, joint_to_heatmap,
+)
+from keypointfusion_tpu.ops.loss import smooth_l1_loss
+
+
+def compute_losses(results: Sequence[jnp.ndarray],
+                   spatial_weights: Sequence[jnp.ndarray],
+                   depth: jnp.ndarray,
+                   uvd_gt: jnp.ndarray,
+                   xyz_gt: jnp.ndarray,
+                   frame: CropFrame,
+                   cfg: Config,
+                   epoch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    kernel = cfg.feature_para[0]
+    j = uvd_gt.shape[1]
+    total = 0.0
+    metrics: Dict[str, jnp.ndarray] = {}
+    feature_size = results[0].shape[1]
+
+    pixel_gt = None
+    for index, stage in enumerate(cfg.stage_type):
+        if stage == 1:
+            pixel_pd = results[index]                       # [B,fs,fs,5J]
+            if pixel_gt is None:
+                pixel_gt = joint_to_offset(uvd_gt, depth, kernel,
+                                           feature_size)    # [B,fs,fs,4J]
+            joint_uvd = offset_to_joint_weight(pixel_pd, depth, kernel)
+            loss_pixel = smooth_l1_loss(
+                pixel_pd[..., :4 * j], pixel_gt) * cfg.deconv_weight
+            loss_coord = smooth_l1_loss(joint_uvd, uvd_gt) * cfg.coord_weight
+            total = total + loss_pixel + loss_coord
+            metrics[f'loss_pixel_{index}'] = loss_pixel
+            metrics[f'loss_coord_{index}'] = loss_coord
+        else:  # stage 2/3: KFAM xyz refinement
+            joint_xyz = results[index]
+            loss_coord = smooth_l1_loss(joint_xyz, xyz_gt) * cfg.coord_weight
+            total = total + loss_coord
+            metrics[f'loss_coord_{index}'] = loss_coord
+
+    for index, sw in enumerate(spatial_weights):
+        sigma = 3.0 if index == 0 else 2.0
+        hm_gt = joint_to_heatmap(uvd_gt[..., :2], kernel, feature_size,
+                                 sigma=sigma)
+        sw_gt = hm_gt / jnp.max(hm_gt)                      # global max
+        loss_sw = smooth_l1_loss(sw, sw_gt) * cfg.spatial_weight[index]
+        gate = (epoch <= cfg.spatial_epoch[index]).astype(jnp.float32) \
+            if hasattr(epoch, 'astype') else float(
+                epoch <= cfg.spatial_epoch[index])
+        loss_sw = loss_sw * gate
+        total = total + loss_sw
+        metrics[f'loss_spatial_{index}'] = loss_sw
+
+    metrics['loss'] = total
+    return total, metrics

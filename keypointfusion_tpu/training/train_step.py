@@ -1,0 +1,139 @@
+"""Train/eval step factories: optax AdamW + epoch-step LR decay, jitted and
+batch-sharded over a 1-D device mesh.
+
+Replaces reference train.py:78-120 (optimizer/scheduler setup) and the hot
+loop body train.py:206-265. One fused jitted step: forward (both backbones +
+2 KFAM stages), loss assembly, backward, AdamW update, BN stat update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from keypointfusion_tpu.config import Config
+from keypointfusion_tpu.geometry.camera import CropFrame
+from keypointfusion_tpu.models.kpfusion import KPFusion
+from keypointfusion_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from keypointfusion_tpu.training.losses import compute_losses
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    model: KPFusion = struct.field(pytree_node=False)
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    """StepLR(step_size epochs, gamma) on top of the base lr
+    (reference train.py:120, config.py:62-64)."""
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return cfg.lr * (cfg.step_gamma ** (epoch // cfg.step_size))
+    return schedule
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int):
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    if cfg.opt == 'adamw':
+        # torch AdamW defaults: betas (0.9, 0.999), eps 1e-8, wd 0.01
+        return optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=0.01)
+    if cfg.opt == 'adam':
+        return optax.adam(sched)
+    if cfg.opt == 'sgd':
+        return optax.sgd(sched, momentum=0.9)
+    raise ValueError(cfg.opt)
+
+
+def create_train_state(cfg: Config, rng, sample_batch,
+                       steps_per_epoch: int = 1000) -> TrainState:
+    model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
+                     dtype=jnp.dtype(cfg.compute_dtype))
+    frame = frame_from_batch(sample_batch, cfg)
+    variables = model.init(rng, sample_batch['rgb'], sample_batch['depth'],
+                           sample_batch['pcl'], frame)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=tx.init(variables['params']),
+        tx=tx, model=model)
+
+
+def frame_from_batch(batch: Dict[str, jnp.ndarray], cfg: Config) -> CropFrame:
+    flip = -1.0 if cfg.dataset == 'nyu' else 1.0
+    return CropFrame.from_batch(batch['cam_para'], batch['center'],
+                                batch['M'], batch['cube'], flip=flip,
+                                img_size=cfg.input_size)
+
+
+def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns train_step(state, batch, rng, epoch) -> (state, metrics).
+
+    batch: dict of [B,...] arrays (rgb, depth NHWC; pcl; xyz_gt; uvd_gt;
+    center; M; cube; cam_para). With a mesh, inputs are batch-sharded and
+    params replicated; XLA emits the ICI all-reduce for gradients.
+    """
+    kernel = cfg.feature_para[0]
+
+    def step_fn(state: TrainState, batch, rng, epoch):
+        frame = frame_from_batch(batch, cfg)
+
+        def loss_fn(params):
+            (results, sw), new_state = state.model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['rgb'], batch['depth'], batch['pcl'], frame,
+                kernel, True, rngs={'dropout': rng},
+                mutable=['batch_stats'])
+            loss, metrics = compute_losses(
+                results, sw, batch['depth'], batch['uvd_gt'],
+                batch['xyz_gt'], frame, cfg, epoch)
+            return loss, (new_state['batch_stats'], metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rsh, bsh, rsh, rsh),
+        out_shardings=(rsh, rsh),
+        donate_argnums=(0,))
+
+
+def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns eval_step(state, batch) -> (results tuple, spatial_weights)."""
+    kernel = cfg.feature_para[0]
+
+    def step_fn(state: TrainState, batch):
+        frame = frame_from_batch(batch, cfg)
+        return state.model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            batch['rgb'], batch['depth'], batch['pcl'], frame, kernel, False)
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(rsh, bsh), out_shardings=bsh)
