@@ -27,6 +27,14 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis,))
 
 
+def auto_mesh(batch_size: int, axis: str = 'data') -> Mesh:
+    """Largest mesh (<= available devices) whose size divides batch_size —
+    keeps batch-axis sharding legal for any configured batch."""
+    ndev = len(jax.devices())
+    n = max(d for d in range(1, ndev + 1) if batch_size % d == 0)
+    return make_mesh(n, axis)
+
+
 def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 

@@ -1,0 +1,282 @@
+"""Trainer: the train/test/evaluation harness.
+
+Rebuilds reference train.py:44-560 (Trainer class) TPU-natively:
+  * the per-batch hot loop is one jitted sharded step (train_step.py);
+  * eval decodes + errors run jitted and batched, with Procrustes alignment
+    as a batched SVD instead of the reference's per-sample host loop
+    (train.py:346-357);
+  * checkpoints are Orbax (params + batch_stats + opt_state + step) with the
+    reference's best/latest policy (train.py:269-293) — and unlike the
+    reference, optimizer state and epoch actually restore on resume
+    (the reference saves but never restores them, train.py:97-107);
+  * metrics go to JSONL + tensorboardX (train.py:27,192).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keypointfusion_tpu.config import Config
+from keypointfusion_tpu.data.pipeline import BatchLoader, device_prefetch
+from keypointfusion_tpu.geometry.camera import uvd_nl_to_xyz_nl
+from keypointfusion_tpu.ops.codecs import offset_to_joint_weight
+from keypointfusion_tpu.parallel.mesh import (
+    auto_mesh, batch_sharding, replicated_sharding,
+)
+from keypointfusion_tpu.training.metrics import (
+    xyz_to_error_mm, pa_error_mm, pck_curve, auc_subset,
+)
+from keypointfusion_tpu.training.train_step import (
+    TrainState, create_train_state, frame_from_batch, make_train_step,
+    make_eval_step,
+)
+
+MANO2HO3D = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+             20, 16, 17, 19, 18]
+
+
+class MetricsLogger:
+    """JSONL metrics log + optional tensorboardX scalars."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(osp.join(log_dir, 'metrics.jsonl'), 'a')
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb = SummaryWriter(log_dir)
+            except Exception:
+                pass
+
+    def log(self, step: int, metrics: Dict[str, float]):
+        rec = {'step': int(step), **{k: float(v) for k, v in
+                                     metrics.items()}}
+        self.jsonl.write(json.dumps(rec) + '\n')
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(k, float(v), global_step=step)
+
+
+class Checkpointer:
+    """Orbax best/latest checkpoints of the full train state."""
+
+    def __init__(self, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+        self.dir = osp.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.ckptr = ocp.StandardCheckpointer()
+
+    def _payload(self, state: TrainState, epoch: int):
+        return {'params': state.params, 'batch_stats': state.batch_stats,
+                'opt_state': state.opt_state,
+                'step': state.step, 'epoch': jnp.asarray(epoch)}
+
+    def save(self, name: str, state: TrainState, epoch: int):
+        path = osp.join(self.dir, name)
+        self.ckptr.save(path, self._payload(state, epoch), force=True)
+        self.ckptr.wait_until_finished()
+
+    def restore(self, name: str, state: TrainState):
+        """Full restore including optimizer state and epoch."""
+        path = osp.join(self.dir, name)
+        target = self._payload(state, 0)
+        restored = self.ckptr.restore(path, target)
+        new_state = state.replace(
+            params=restored['params'], batch_stats=restored['batch_stats'],
+            opt_state=restored['opt_state'], step=restored['step'])
+        return new_state, int(restored['epoch'])
+
+    def restore_weights(self, name: str, state: TrainState):
+        """Warm-start weights only (the reference's effective resume
+        semantics, train.py:100-117)."""
+        new_state, _ = self.restore(name, state)
+        return state.replace(params=new_state.params,
+                             batch_stats=new_state.batch_stats)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_data=None, test_data=None,
+                 model_dir: Optional[str] = None, use_mesh: bool = True):
+        self.cfg = cfg
+        self.train_data = train_data
+        self.test_data = test_data
+        if train_data is None and cfg.phase == 'train':
+            from keypointfusion_tpu.data.datasets import make_dataset
+            self.train_data = make_dataset(cfg, 'train')
+        if test_data is None and cfg.phase in ('train', 'test'):
+            from keypointfusion_tpu.data.datasets import make_dataset
+            try:
+                self.test_data = make_dataset(cfg, 'test')
+            except Exception:
+                self.test_data = None
+
+        self.model_dir = model_dir or osp.join(
+            cfg.save_dir, 'checkpoint', cfg.dataset,
+            cfg.net + ('_' + cfg.model_save if cfg.model_save else ''))
+        os.makedirs(self.model_dir, exist_ok=True)
+        with open(osp.join(self.model_dir, 'config.json'), 'w') as f:
+            json.dump({k: str(v) for k, v in vars(type(cfg)).items()
+                       if not k.startswith('_')}, f, default=str)
+        logging.basicConfig(
+            filename=osp.join(self.model_dir, 'train.log'),
+            level=logging.INFO, force=False)
+
+        self.mesh = auto_mesh(cfg.batch_size) \
+            if use_mesh and len(jax.devices()) > 1 else None
+        self.logger = MetricsLogger(osp.join(self.model_dir, 'runs'))
+        self.ckpt = Checkpointer(osp.join(self.model_dir, 'ckpt'))
+
+        nb = (len(self.train_data) // cfg.batch_size
+              if self.train_data is not None else 1000)
+        sample = self._sample_batch()
+        self.state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed),
+                                        sample, steps_per_epoch=max(nb, 1))
+        if self.mesh is not None:
+            self.state = jax.device_put(
+                self.state, replicated_sharding(self.mesh))
+        if cfg.load_model:
+            self.state = self.ckpt.restore_weights(cfg.load_model,
+                                                   self.state)
+        self.train_step = make_train_step(cfg, self.mesh)
+        self.eval_step = make_eval_step(cfg, self.mesh)
+        self.min_error = float('inf')
+        self.start_epoch = 0
+        self._rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    def _sample_batch(self):
+        from keypointfusion_tpu.data.synthetic import synthetic_batch
+        if self.train_data is not None:
+            from keypointfusion_tpu.data.pipeline import collate
+            s = collate([self.train_data[0]] * 2)
+            return {k: jnp.asarray(v) for k, v in s.items()}
+        return {k: jnp.asarray(v) for k, v in synthetic_batch(
+            batch_size=2, point_num=self.cfg.point_num).items()}
+
+    # ------------------------------------------------------------- train --
+
+    def train(self):
+        cfg = self.cfg
+        sharding = batch_sharding(self.mesh) if self.mesh else None
+        for epoch in range(self.start_epoch, cfg.max_epoch):
+            loader = BatchLoader(self.train_data, cfg.batch_size,
+                                 shuffle=True, num_workers=8,
+                                 seed=cfg.seed + epoch)
+            epoch_arr = jnp.asarray(epoch, jnp.int32)
+            t0 = time.time()
+            for ii, batch in enumerate(device_prefetch(loader, sharding)):
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.state, metrics = self.train_step(
+                    self.state, batch, step_rng, epoch_arr)
+                if ii % 50 == 0:
+                    step = int(jax.device_get(self.state.step))
+                    host = {k: float(v) for k, v in
+                            jax.device_get(metrics).items()}
+                    host['steps_per_sec'] = (ii + 1) / (time.time() - t0)
+                    self.logger.log(step, host)
+
+            test_error = self.test(epoch) if self.test_data else \
+                float(jax.device_get(metrics['loss']))
+            if test_error <= self.min_error:
+                self.min_error = test_error
+                self.ckpt.save('best', self.state, epoch)
+            self.ckpt.save('latest', self.state, epoch)
+            logging.info('epoch %d done, test_error %.4f', epoch,
+                         test_error)
+        return self.min_error
+
+    # -------------------------------------------------------------- eval --
+
+    def _decode_stage(self, results, batch, frame, index, stage):
+        kernel = self.cfg.feature_para[0]
+        if stage == 1:
+            joint_uvd = offset_to_joint_weight(results[index],
+                                               batch['depth'], kernel)
+            return uvd_nl_to_xyz_nl(joint_uvd, frame)
+        return results[index]
+
+    def test(self, epoch: int = -1) -> float:
+        """Per-stage mean / Procrustes-aligned errors + AUC printouts
+        (reference train.py:304-399)."""
+        cfg = self.cfg
+        loader = BatchLoader(self.test_data, cfg.batch_size, shuffle=False,
+                             num_workers=8, drop_last=False)
+        sharding = batch_sharding(self.mesh) if self.mesh else None
+        n_stage = len(cfg.stage_type)
+        err_sum = np.zeros(n_stage)
+        pa_sum = np.zeros(n_stage)
+        nb = 0
+        first_last_errors = [[], []]
+        for batch in device_prefetch(loader, sharding):
+            results, _ = self.eval_step(self.state, batch)
+            frame = frame_from_batch(batch, cfg)
+            for index, stage in enumerate(cfg.stage_type):
+                joint_xyz = self._decode_stage(results, batch, frame,
+                                               index, stage)
+                err = xyz_to_error_mm(joint_xyz, batch['xyz_gt'],
+                                      batch['center'], batch['cube'])
+                pa = pa_error_mm(joint_xyz, batch['xyz_gt'],
+                                 batch['center'], batch['cube'])
+                err_sum[index] += float(jnp.mean(err))
+                pa_sum[index] += float(jnp.mean(pa))
+                if index == 0:
+                    first_last_errors[0].append(np.asarray(err))
+                if index == n_stage - 1:
+                    first_last_errors[1].append(np.asarray(err))
+            nb += 1
+        if nb == 0:
+            return float('inf')
+
+        for which, name in ((0, 'stage 0'), (1, 'stage -1')):
+            errors = np.concatenate(first_last_errors[which], 0)
+            auc, curve, th = pck_curve(errors)
+            print(f'{name}: Area under curve: {auc:.3f}')
+            print(f'{name}: Area under curve between 20mm - 50mm: '
+                  f'{auc_subset(curve, th):.3f}')
+
+        info = f'{epoch} epochs: '
+        for index in range(n_stage):
+            print(f'[mean_Error {err_sum[index] / nb:.3f}]')
+            print(f'[PA_mean_Error {pa_sum[index] / nb:.3f}]')
+            info += (f' error{index}: {err_sum[index] / nb:.3f} '
+                     f'PA{index}: {pa_sum[index] / nb:.3f}')
+        logging.info(info)
+        self.logger.log(int(jax.device_get(self.state.step)),
+                        {f'error_{i}': err_sum[i] / nb
+                         for i in range(n_stage)})
+        return err_sum[-1] / nb
+
+    def evaluation(self, eval_data=None, out_path: Optional[str] = None):
+        """HO3D codalab dump: world-mm joints, MANO→HO3D reorder,
+        [1,-1,-1]/1000 flip, zero mesh placeholder
+        (reference train.py:401-468)."""
+        cfg = self.cfg
+        data = eval_data or self.test_data
+        loader = BatchLoader(data, cfg.batch_size, shuffle=False,
+                             num_workers=8, drop_last=False)
+        joint_list, mesh_list = [], []
+        for batch in device_prefetch(loader):
+            results, _ = self.eval_step(self.state, batch)
+            joint_xyz = results[-1]
+            world = (joint_xyz * batch['cube'][:, None] / 2
+                     + batch['center'][:, None])
+            world = np.asarray(world)[:, MANO2HO3D, :]
+            world = world * np.array([1, -1, -1]) / 1000
+            mesh = np.zeros([world.shape[0], 778, 3])
+            joint_list += [w for w in world]
+            mesh_list += [m for m in mesh]
+        out_path = out_path or osp.join(self.model_dir, 'pred.json')
+        with open(out_path, 'w') as f:
+            json.dump([[j.tolist() for j in joint_list],
+                       [m.tolist() for m in mesh_list]], f)
+        return out_path
