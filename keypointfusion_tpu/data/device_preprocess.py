@@ -1,0 +1,138 @@
+"""On-device fused preprocessing: full-res RGB-D frame → normalized crops,
+crop transform, and point cloud — entirely inside jit.
+
+This is the BASELINE north star's "depth preprocessing chain
+(crop/normalize ...) becomes fused XLA ops": the cv2 crop+resize+pad of the
+host path (reference loader.py:659-710 Crop_Image_deep_pp, :595-602
+normalize_img) re-expressed as gather-based nearest warps with the same
+index arithmetic (cv2 INTER_NEAREST uses src = floor(dst * inv_scale); the
+destination crop is the same centered letterbox). Used by the streaming
+inference engine; the host path remains for bit-exact dataset eval.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from keypointfusion_tpu.geometry.camera import CropFrame, points_img_to_3d
+from keypointfusion_tpu.geometry.pcl import depth_to_pcl_fixed
+
+
+def com_to_bounds_device(center_uvd, cube, cam_para):
+    """Batched traced version of reference loader.py:291-301 (keeps the
+    floor(+0.5) pixel snapping)."""
+    fx, fy = cam_para[:, 0], cam_para[:, 1]
+    cu, cv, cz = center_uvd[:, 0], center_uvd[:, 1], center_uvd[:, 2]
+    zstart = cz - cube[:, 2] / 2.0
+    zend = cz + cube[:, 2] / 2.0
+    xstart = jnp.floor((cu * cz / fx - cube[:, 0] / 2.) / cz * fx + 0.5)
+    xend = jnp.floor((cu * cz / fx + cube[:, 0] / 2.) / cz * fx + 0.5)
+    ystart = jnp.floor((cv * cz / fy - cube[:, 1] / 2.) / cz * fy + 0.5)
+    yend = jnp.floor((cv * cz / fy + cube[:, 1] / 2.) / cz * fy + 0.5)
+    return xstart, xend, ystart, yend, zstart, zend
+
+
+def _crop_geometry(xstart, xend, ystart, yend, img_size: int):
+    """The centered-letterbox geometry of Crop_Image_deep_pp: scale along
+    the longer box side, center the shorter one. Returns (sz_x, sz_y,
+    pad_x, pad_y, M [B,3,3])."""
+    wb = xend - xstart
+    hb = yend - ystart
+    wide = wb > hb
+    sz_x = jnp.where(wide, img_size, jnp.floor(wb * img_size / hb))
+    sz_y = jnp.where(wide, jnp.floor(hb * img_size / wb), img_size)
+    pad_x = jnp.floor(img_size / 2.0 - sz_x / 2.0)
+    pad_y = jnp.floor(img_size / 2.0 - sz_y / 2.0)
+    # scale of the resize step (cropped → sz): the reference divides by the
+    # larger cropped side (loader.py:689-693)
+    scale = jnp.where(hb > wb, sz_y / hb, sz_x / wb)
+    b = xstart.shape[0]
+    M = jnp.zeros((b, 3, 3), jnp.float32)
+    M = M.at[:, 0, 0].set(scale)
+    M = M.at[:, 1, 1].set(scale)
+    M = M.at[:, 2, 2].set(1.0)
+    M = M.at[:, 0, 2].set(pad_x - scale * xstart)
+    M = M.at[:, 1, 2].set(pad_y - scale * ystart)
+    return sz_x, sz_y, pad_x, pad_y, M
+
+
+def _nearest_src_idx(out_size: int, sz, pad, start, in_extent):
+    """Per-output-pixel source index along one axis: cv2 INTER_NEAREST's
+    src = floor(dst * inv_scale) inside the letterbox, -1 (invalid)
+    outside."""
+    o = jnp.arange(out_size, dtype=jnp.float32)[None, :]      # [1,S]
+    rel = o - pad[:, None]                                    # [B,S]
+    inside = (rel >= 0) & (rel < sz[:, None])
+    src = jnp.floor(rel * (in_extent[:, None] / sz[:, None])) \
+        + start[:, None]
+    return jnp.where(inside, src, -1.0).astype(jnp.int32)
+
+
+def device_crop(depth_full, rgb_full, center_uvd, cube, cam_para,
+                img_size: int = 128,
+                flip: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                            CropFrame]:
+    """Fused crop + z-threshold + normalize for a batch of full frames.
+
+    depth_full [B,H0,W0] mm; rgb_full [B,H0,W0,3] (0-255 or 0-1);
+    center_uvd [B,3] (u, v, z_mm); cube [B,3] mm; cam_para [B,4].
+    Returns (depth_nl [B,S,S,1] in [-1,1], rgb_crop [B,S,S,3], frame).
+    """
+    b, h0, w0 = depth_full.shape
+    xs, xe, ys, ye, zs, ze = com_to_bounds_device(center_uvd, cube,
+                                                  cam_para)
+    sz_x, sz_y, pad_x, pad_y, M = _crop_geometry(xs, xe, ys, ye, img_size)
+
+    src_x = _nearest_src_idx(img_size, sz_x, pad_x, xs, xe - xs)  # [B,S]
+    src_y = _nearest_src_idx(img_size, sz_y, pad_y, ys, ye - ys)
+
+    valid_x = (src_x >= 0) & (src_x < w0)
+    valid_y = (src_y >= 0) & (src_y < h0)
+    cx = jnp.clip(src_x, 0, w0 - 1)
+    cy = jnp.clip(src_y, 0, h0 - 1)
+    valid = valid_y[:, :, None] & valid_x[:, None, :]         # [B,S,S]
+
+    def gather2d(img):
+        g = jax.vmap(lambda im, yy, xx: im[yy][:, xx])(img, cy, cx)
+        return g
+
+    d = jnp.where(valid, gather2d(depth_full), 0.0)           # [B,S,S]
+    rgb = jnp.where(valid[..., None], gather2d(rgb_full), 0.0)
+
+    # z-threshold (getCrop semantics, loader.py:745-749)
+    zs_ = zs[:, None, None]
+    ze_ = ze[:, None, None]
+    d = jnp.where((d < zs_) & (d != 0), zs_, d)
+    d = jnp.where((d > ze_) & (d != 0), 0.0, d)
+
+    # normalize_img (loader.py:595-602): premax and 0 → far plane, clamp
+    premax = jnp.max(d, axis=(1, 2), keepdims=True)
+    cz = center_uvd[:, 2][:, None, None]
+    zmax = cz + cube[:, 2][:, None, None] / 2.0
+    zmin = cz - cube[:, 2][:, None, None] / 2.0
+    d = jnp.where((d == premax) | (d == 0), zmax, d)
+    d = jnp.clip(d, zmin, zmax)
+    d_nl = (d - cz) / (cube[:, 2][:, None, None] / 2.0)
+
+    center_xyz = points_img_to_3d(center_uvd[:, None, :], cam_para[:, 0],
+                                  cam_para[:, 1], cam_para[:, 2],
+                                  cam_para[:, 3], flip)[:, 0]
+    frame = CropFrame.from_batch(cam_para, center_xyz, M, cube, flip=flip,
+                                 img_size=img_size)
+    return d_nl[..., None], rgb, frame
+
+
+def device_preprocess(depth_full, rgb_full, center_uvd, cube, cam_para,
+                      key, img_size: int = 128, point_num: int = 1024,
+                      rgb_scale: float = 1.0 / 255.0, flip: float = 1.0):
+    """Full on-device pipeline: crop + normalize + point-cloud sample.
+    Returns the model input dict analogue (rgb, depth, pcl, frame)."""
+    depth_nl, rgb_crop, frame = device_crop(depth_full, rgb_full,
+                                            center_uvd, cube, cam_para,
+                                            img_size, flip)
+    pcl = depth_to_pcl_fixed(depth_nl, frame, key, point_num)
+    pcl = jnp.clip(pcl, -1.0, 1.0)
+    return rgb_crop * rgb_scale, depth_nl, pcl, frame

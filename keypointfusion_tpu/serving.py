@@ -1,0 +1,104 @@
+"""Batched streaming RGB-D inference engine (throughput mode).
+
+The reference has no serving stack (its demo runs one frame at a time
+through DataParallel, demo_RGBD.py:65-173). This engine is the
+production-path counterpart the BASELINE north star asks for: full frames
+stream in, on-device fused preprocessing (data/device_preprocess.py) +
+the jitted KPFusion forward run as ONE compiled program per batch, and
+dispatch is asynchronous — the host enqueues batch k+1 while batch k runs,
+keeping the chip saturated (double-buffered host→HBM).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from keypointfusion_tpu.config import Config
+from keypointfusion_tpu.data.device_preprocess import device_preprocess
+from keypointfusion_tpu.geometry.camera import xyz_nl_to_uvd_nl
+from keypointfusion_tpu.models.kpfusion import KPFusion
+
+
+class StreamingEngine:
+    """Fixed-batch streaming inference: full frames in, joints out."""
+
+    def __init__(self, cfg: Config, variables: Optional[dict] = None,
+                 batch_size: int = 64, img_hw=(480, 640),
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.img_hw = img_hw
+        self.model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
+                              dtype=dtype)
+
+        if variables is None:
+            from keypointfusion_tpu.data.synthetic import synthetic_batch
+            from keypointfusion_tpu.training.train_step import \
+                frame_from_batch
+            b = {k: jnp.asarray(v) for k, v in synthetic_batch(
+                batch_size=2, point_num=cfg.point_num).items()}
+            variables = self.model.init(
+                jax.random.PRNGKey(0), b['rgb'], b['depth'], b['pcl'],
+                frame_from_batch(b, cfg))
+        self.variables = variables
+
+        kernel = cfg.feature_para[0]
+        point_num = cfg.point_num
+        img_size = cfg.input_size
+
+        def pipeline(variables, depth_full, rgb_full, centers, cube, cam,
+                     key):
+            # ingest compact dtypes (uint16 depth mm, uint8 rgb) — host→HBM
+            # bandwidth is the streaming bottleneck, so convert on device
+            depth_full = depth_full.astype(jnp.float32)
+            rgb_full = rgb_full.astype(jnp.float32)
+            rgb, depth, pcl, frame = device_preprocess(
+                depth_full, rgb_full, centers, cube, cam, key,
+                img_size, point_num)
+            results, _ = self.model.apply(variables, rgb, depth, pcl,
+                                          frame, kernel, False)
+            joint_xyz = results[-1]
+            joint_uvd = xyz_nl_to_uvd_nl(joint_xyz, frame)
+            # world-mm joints
+            world = joint_xyz * frame.cube[:, None] / 2.0 \
+                + frame.center[:, None]
+            return world, joint_uvd, frame.M
+
+        self._pipeline = jax.jit(pipeline)
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+    def submit(self, depth_full: np.ndarray, rgb_full: np.ndarray,
+               centers: np.ndarray, cube: np.ndarray, cam: np.ndarray):
+        """Enqueue one batch (async; returns device futures)."""
+        self._key, k = jax.random.split(self._key)
+        return self._pipeline(self.variables, jnp.asarray(depth_full),
+                              jnp.asarray(rgb_full), jnp.asarray(centers),
+                              jnp.asarray(cube), jnp.asarray(cam), k)
+
+    def process_stream(self, batches: Iterator[Dict[str, np.ndarray]],
+                       depth: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+        """Double-buffered streaming: keeps `depth` batches in flight."""
+        buf = collections.deque()
+        it = iter(batches)
+        try:
+            for _ in range(depth):
+                b = next(it)
+                buf.append(self.submit(b['depth'], b['rgb'], b['centers'],
+                                       b['cube'], b['cam']))
+        except StopIteration:
+            pass
+        for b in it:
+            world, uvd, M = buf.popleft()
+            buf.append(self.submit(b['depth'], b['rgb'], b['centers'],
+                                   b['cube'], b['cam']))
+            yield {'joint_xyz_mm': np.asarray(world),
+                   'joint_uvd': np.asarray(uvd), 'M': np.asarray(M)}
+        while buf:
+            world, uvd, M = buf.popleft()
+            yield {'joint_xyz_mm': np.asarray(world),
+                   'joint_uvd': np.asarray(uvd), 'M': np.asarray(M)}
