@@ -50,11 +50,23 @@ def load_coco_index(path: str) -> List[dict]:
 def build_rgbd_sample(depth, rgb, joint_xyz_mm, center_xyz, cam_para,
                       cube_size, train: bool, aug_para, py_rng, np_rng,
                       img_size=128, sample_num=1024, color_factor=0.0,
-                      clamp_pcl=False, flip=1.0) -> Dict[str, np.ndarray]:
+                      clamp_pcl=False, flip=1.0,
+                      use_native: bool = True) -> Dict[str, np.ndarray]:
     """The shared crop→augment→normalize→pcl pipeline every dataset runs
-    per sample (reference loader.py:1129-1204 and clones)."""
+    per sample (reference loader.py:1129-1204 and clones).
+
+    In eval mode (no geometric augmentation) the fused C++ core
+    (keypointfusion_tpu/native) handles the depth crop+normalize+pcl in
+    one pass when available — bit-parity with the numpy path."""
     center_uvd = pp.joint_3d_to_img(center_xyz, cam_para, flip)
     gt3Dcrop = joint_xyz_mm - center_xyz
+
+    if not train and use_native and flip == 1.0:
+        from keypointfusion_tpu import native
+        if native.available():
+            return _build_eval_sample_native(
+                depth, rgb, gt3Dcrop, center_xyz, center_uvd, cam_para,
+                cube_size, img_size, sample_num, clamp_pcl, np_rng)
 
     depth_crop, trans = pp.crop_area_3d(
         depth, center_uvd, cube_size, (img_size, img_size), cam_para)
@@ -110,6 +122,44 @@ def build_rgbd_sample(depth, rgb, joint_xyz_mm, center_xyz, cam_para,
         'M': np.asarray(M, np.float32),
         'cube': np.asarray(cube, np.float32),
         'cam_para': np.asarray(cam_para, np.float32),
+    }
+
+
+def _build_eval_sample_native(depth, rgb, gt3Dcrop, center_xyz, center_uvd,
+                              cam_para, cube_size, img_size, sample_num,
+                              clamp_pcl, np_rng) -> Dict[str, np.ndarray]:
+    """Eval-path sample via the fused C++ preprocessing core."""
+    from keypointfusion_tpu import native
+    cam = np.asarray(cam_para, np.float32)
+    cube = np.asarray(cube_size, np.float32)
+    imgD, M = native.crop_normalize(depth.astype(np.float32),
+                                    np.asarray(center_uvd, np.float32),
+                                    cube, cam, img_size)
+    rgb_crop, _ = pp.crop_area_3d(rgb.astype(np.float32), center_uvd,
+                                  cube_size, (img_size, img_size), cam_para,
+                                  thresh_z=False)
+    com3d = pp.joint_img_to_3d(center_uvd, cam_para)
+    cur_label = gt3Dcrop / (cube[2] / 2.0)
+    joint_img = pp.transform_points_2d(
+        pp.joint_3d_to_img(cur_label * (cube[0] / 2.0) + com3d, cam_para),
+        M)
+    joint_img[:, :2] = joint_img[:, :2] / (img_size / 2) - 1
+    joint_img[:, 2] = (joint_img[:, 2] - com3d[2]) / (cube[0] / 2.0)
+
+    pcl = native.depth_to_pcl(imgD, M, cam, com3d.astype(np.float32), cube)
+    pcl_sample = pp.sample_pcl(pcl, sample_num, np_rng)
+    if clamp_pcl:
+        pcl_sample = np.clip(pcl_sample, -1, 1)
+    return {
+        'rgb': (rgb_crop / 255.0).astype(np.float32),
+        'depth': imgD.astype(np.float32)[..., None],
+        'pcl': pcl_sample.astype(np.float32),
+        'xyz_gt': cur_label.astype(np.float32),
+        'uvd_gt': joint_img.astype(np.float32),
+        'center': com3d.astype(np.float32),
+        'M': np.asarray(M, np.float32),
+        'cube': cube,
+        'cam_para': cam,
     }
 
 
