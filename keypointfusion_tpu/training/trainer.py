@@ -146,13 +146,30 @@ class Trainer:
             self.state = jax.device_put(
                 self.state, replicated_sharding(self.mesh))
         if cfg.load_model:
-            self.state = self.ckpt.restore_weights(cfg.load_model,
-                                                   self.state)
+            if cfg.load_model.endswith('.pth'):
+                self.state = self._load_torch_checkpoint(cfg.load_model)
+            else:
+                self.state = self.ckpt.restore_weights(cfg.load_model,
+                                                       self.state)
         self.train_step = make_train_step(cfg, self.mesh)
         self.eval_step = make_eval_step(cfg, self.mesh)
         self.min_error = float('inf')
         self.start_epoch = 0
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    def _load_torch_checkpoint(self, path: str):
+        """Warm-start from a released reference .pth
+        (reference train.py:100-117's partial merge, via the converter)."""
+        import torch
+        from keypointfusion_tpu.utils.torch_convert import (
+            convert_kpfusion_checkpoint)
+        depth = int(self.cfg.net.split('-')[-1]) \
+            if 'resnet' in self.cfg.net else 18
+        ckpt = torch.load(path, map_location='cpu')
+        converted = convert_kpfusion_checkpoint(ckpt, depth=depth)
+        converted = jax.tree_util.tree_map(jnp.asarray, converted)
+        return self.state.replace(params=converted['params'],
+                                  batch_stats=converted['batch_stats'])
 
     def _sample_batch(self):
         from keypointfusion_tpu.data.synthetic import synthetic_batch

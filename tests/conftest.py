@@ -23,6 +23,16 @@ import pytest  # noqa: E402
 REFERENCE_DIR = "/root/reference"
 
 
+def make_stub_module(name: str):
+    """Stub module with a real __spec__ (transformers probes availability
+    via importlib.util.find_spec, which raises on spec-less modules)."""
+    import types
+    import importlib.machinery
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
+
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
 

@@ -19,16 +19,17 @@ def ref_loader():
     import os
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference not mounted")
+    from tests.conftest import make_stub_module
     if 'pycocotools' not in sys.modules:
-        m = types.ModuleType('pycocotools')
-        mc = types.ModuleType('pycocotools.coco')
+        m = make_stub_module('pycocotools')
+        mc = make_stub_module('pycocotools.coco')
         mc.COCO = object
         m.coco = mc
         sys.modules['pycocotools'] = m
         sys.modules['pycocotools.coco'] = mc
     if 'torchvision' not in sys.modules:
-        tv = types.ModuleType('torchvision')
-        tvt = types.ModuleType('torchvision.transforms')
+        tv = make_stub_module('torchvision')
+        tvt = make_stub_module('torchvision.transforms')
         tvt.ToTensor = object
         tv.transforms = tvt
         sys.modules['torchvision'] = tv
