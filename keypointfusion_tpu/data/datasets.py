@@ -319,8 +319,9 @@ class HO3D(_Base):
     def read_depth_img(path):
         """HO3D 2-channel depth decode (loader.py:1482-1488)."""
         depth_scale = 0.00012498664727900177
-        img = cv2.imread(path)
-        return (img[:, :, 2] + img[:, :, 1] * 256) * depth_scale * 1000
+        img = cv2.imread(path).astype(np.int32)
+        return ((img[:, :, 2] + img[:, :, 1] * 256)
+                * depth_scale * 1000).astype(np.float32)
 
     def __getitem__(self, idx):
         d = self.datalist[idx]
@@ -393,7 +394,7 @@ class NYUDataset(_Base):
 
     @staticmethod
     def read_depth(path):
-        img = cv2.imread(path)
+        img = cv2.imread(path).astype(np.int32)
         return np.asarray(img[:, :, 0] + img[:, :, 1] * 256, np.float32)
 
     def __getitem__(self, idx):
@@ -447,8 +448,9 @@ class STBDataset(_Base):
 
     @staticmethod
     def read_depth(path):
-        img = cv2.imread(path)
-        return (img[:, :, 2] + img[:, :, 1] * 256) * 0.001 * 1000
+        img = cv2.imread(path).astype(np.int32)
+        return ((img[:, :, 2] + img[:, :, 1] * 256)
+                * 0.001 * 1000).astype(np.float32)
 
     def __getitem__(self, idx):
         d = self.datalist[idx]
