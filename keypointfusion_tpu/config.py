@@ -85,7 +85,7 @@ class Config:
     mano_path: str = osp.join('.', 'assets', 'mano')
 
     # TPU-specific knobs (no reference equivalent)
-    compute_dtype: str = 'float32'     # bfloat16 for throughput mode
+    compute_dtype: str = 'float32'     # 'bfloat16' (serving) | 'mixed' (training)
     mesh_axis: str = 'data'            # 1-D data-parallel mesh axis name
     sync_batchnorm: bool = True        # pjit global-batch BN stats (see parallel/)
     seed: int = 23455                  # reference loader RNG seed (loader.py:208)

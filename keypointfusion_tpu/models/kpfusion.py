@@ -37,11 +37,18 @@ def _backbone(net: str, joint_num: int, dtype, name: str):
 
 
 class KPFusion(nn.Module):
+    """Precision policy: `dtype` is the fusion-head compute dtype and
+    `backbone_dtype` the CNN compute dtype (params stay f32). On TPU the
+    backward of the fusion head's gathers/scatters is pathologically slow
+    in bf16 (measured 6.7x), while the conv backbones hold ~all the FLOPs —
+    so the fast training config is backbone_dtype=bf16 + dtype=f32
+    ("mixed"); full-bf16 is for inference/serving."""
     net: str = 'KPFusion-resnet-18'
     joint_num: int = 21
     num_stages: int = 2
     dim: int = 128
     dtype: Any = jnp.float32
+    backbone_dtype: Any = None
 
     @nn.compact
     def __call__(self, rgb, depth, pcl, frame: CropFrame,
@@ -55,11 +62,17 @@ class KPFusion(nn.Module):
           spatial_weights = tuple of [B,32,32,J] per stage.
         """
         j = self.joint_num
-        backbone_d = _backbone(self.net, j, self.dtype, 'backbone_d')
-        backbone_rgb = _backbone(self.net, j, self.dtype, 'backbone_rgb')
+        bb_dtype = self.backbone_dtype or self.dtype
+        backbone_d = _backbone(self.net, j, bb_dtype, 'backbone_d')
+        backbone_rgb = _backbone(self.net, j, bb_dtype, 'backbone_rgb')
 
-        img_offset, img_feat = backbone_d(depth, train)
-        img_offset_rgb, img_feat_rgb = backbone_rgb(rgb, train)
+        img_offset, img_feat = backbone_d(depth.astype(bb_dtype), train)
+        img_offset_rgb, img_feat_rgb = backbone_rgb(rgb.astype(bb_dtype),
+                                                    train)
+        img_offset = img_offset.astype(self.dtype)
+        img_feat = img_feat.astype(self.dtype)
+        img_offset_rgb = img_offset_rgb.astype(self.dtype)
+        img_feat_rgb = img_feat_rgb.astype(self.dtype)
         h = img_feat.shape[1]
 
         joint_uvd = jax.lax.stop_gradient(

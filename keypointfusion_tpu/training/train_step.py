@@ -57,8 +57,14 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
 
 def create_train_state(cfg: Config, rng, sample_batch,
                        steps_per_epoch: int = 1000) -> TrainState:
+    if cfg.compute_dtype == 'mixed':
+        # bf16 conv backbones, f32 fusion head (see KPFusion docstring)
+        dtype, backbone_dtype = jnp.float32, jnp.bfloat16
+    else:
+        dtype = jnp.dtype(cfg.compute_dtype)
+        backbone_dtype = None
     model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
-                     dtype=jnp.dtype(cfg.compute_dtype))
+                     dtype=dtype, backbone_dtype=backbone_dtype)
     frame = frame_from_batch(sample_batch, cfg)
     variables = model.init(rng, sample_batch['rgb'], sample_batch['depth'],
                            sample_batch['pcl'], frame)
