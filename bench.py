@@ -16,6 +16,9 @@ BASELINE_FPS = 3000.0
 
 def main():
     import jax
+    from keypointfusion_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from keypointfusion_tpu.config import Config
     from keypointfusion_tpu.data.synthetic import synthetic_batch

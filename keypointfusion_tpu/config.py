@@ -55,6 +55,7 @@ class Config:
 
     load_model: str = ''
     finetune_dir: str = ''
+    resume: bool = False       # full resume from the latest checkpoint
 
     batch_size: int = 64
     input_size: int = 128

@@ -471,11 +471,19 @@ class STBDataset(_Base):
                         (uvd[:, 1] - ty) * uvd[:, 2] / fx,
                         uvd[:, 2]], -1)
         center_xyz = xyz.mean(0)
-        return build_rgbd_sample(
+        sample = build_rgbd_sample(
             depth, rgb, xyz, center_xyz, self.cam_para, self.cube,
             self.split == 'train', self.aug_para, self.py_rng, self.np_rng,
             self.img_size, self.sample_num,
             color_factor=self.color_factor if self.split == 'train' else 0.)
+        # STB applies ImageNet Normalize to the 0-255 floats BEFORE /255
+        # (reference dataset_STB.py:19,47,121,131 — ToTensor on float32
+        # arrays does not rescale, so the mean/std act on the 255 scale)
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        sample['rgb'] = ((sample['rgb'] * 255.0 - mean) / std / 255.0
+                         ).astype(np.float32)
+        return sample
 
 
 def make_dataset(cfg, split: str):

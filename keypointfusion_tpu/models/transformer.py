@@ -142,8 +142,14 @@ class CrossDecoderLayer(nn.Module):
 
 
 class CrossDecoder(nn.Module):
-    """updatedDecoder (transfusion_head.py:635-708): N cross-only layers,
-    query = image-side joint features, key = point-side joint features."""
+    """updatedDecoder (transfusion_head.py:635-708): N cross-only layers.
+
+    Reference quirk replicated exactly: every layer receives the ORIGINAL
+    anchor features (transfusion_head.py:703-706 re-feeds `anchor_feats`
+    each iteration) and only the LAST layer's output is returned — layers
+    0..N-2 never influence the result (and receive no gradient). All
+    layers are still declared so converted reference checkpoints load;
+    XLA dead-code-eliminates the unused ones at compile time."""
     hidden: int = 128
     heads: int = 4
     ffn: int = 128
@@ -154,10 +160,11 @@ class CrossDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, anchor_feats, img_feats, train: bool = False):
-        x = anchor_feats
+        out = anchor_feats
         for i in range(self.layers):
-            x = CrossDecoderLayer(self.hidden, self.heads, self.ffn,
-                                  self.dropout, self.joint_num,
-                                  dtype=self.dtype,
-                                  name=f'layer_{i}')(x, img_feats, train)
-        return x
+            out = CrossDecoderLayer(self.hidden, self.heads, self.ffn,
+                                    self.dropout, self.joint_num,
+                                    dtype=self.dtype,
+                                    name=f'layer_{i}')(anchor_feats,
+                                                       img_feats, train)
+        return out

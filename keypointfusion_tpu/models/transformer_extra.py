@@ -92,16 +92,18 @@ class DetrDecoder(nn.Module):
         key_pos = detr_sine_position_embedding(h, w, self.hidden // 2)
         key_pos = jnp.broadcast_to(key_pos.reshape(1, h * w, -1),
                                    (b, h * w, self.hidden))
-        x = anchor_feats
+        # reference quirk: each layer sees the ORIGINAL anchors; only the
+        # last layer's output is returned (transfusion_head.py:625-631)
+        out = anchor_feats
         for i in range(self.layers):
             q_pos = nn.Embed(self.joint_num, self.hidden, dtype=self.dtype,
                              name=f'query_pos_{i}')(
                 jnp.arange(self.joint_num))[None]
-            x = _ImageCrossLayer(self.hidden, self.heads, self.ffn,
-                                 self.dropout, dtype=self.dtype,
-                                 name=f'layer_{i}')(x, key, q_pos, key_pos,
-                                                    train)
-        return x
+            out = _ImageCrossLayer(self.hidden, self.heads, self.ffn,
+                                   self.dropout, dtype=self.dtype,
+                                   name=f'layer_{i}')(anchor_feats, key,
+                                                      q_pos, key_pos, train)
+        return out
 
 
 class SpatialAggregateTR(nn.Module):
@@ -123,13 +125,15 @@ class SpatialAggregateTR(nn.Module):
         q_pos = detr_sine_position_embedding(h, w, self.hidden // 2)
         q_pos = jnp.broadcast_to(q_pos.reshape(1, h * w, -1),
                                  (b, h * w, self.hidden))
-        x = query
+        # reference quirk: constant query input, last output returned
+        # (transfusion_head.py:776-781)
+        out = query
         for i in range(self.layers):
             k_pos = nn.Embed(self.joint_num, self.hidden, dtype=self.dtype,
                              name=f'key_pos_{i}')(
                 jnp.arange(self.joint_num))[None]
-            x = _ImageCrossLayer(self.hidden, self.heads, self.ffn,
-                                 self.dropout, dtype=self.dtype,
-                                 name=f'layer_{i}')(x, anchor_feats, q_pos,
-                                                    k_pos, train)
-        return x
+            out = _ImageCrossLayer(self.hidden, self.heads, self.ffn,
+                                   self.dropout, dtype=self.dtype,
+                                   name=f'layer_{i}')(query, anchor_feats,
+                                                      q_pos, k_pos, train)
+        return out

@@ -78,9 +78,12 @@ def create_train_state(cfg: Config, rng, sample_batch,
 
 
 def frame_from_batch(batch: Dict[str, jnp.ndarray], cfg: Config) -> CropFrame:
-    flip = -1.0 if cfg.dataset == 'nyu' else 1.0
+    # flip=+1 for every dataset: NYUDataset already converts its stored
+    # flipped-y labels/centers to the +1 convention, exactly like the
+    # reference nyu_loader (loader.py:1510 sets self.flip = 1 after the
+    # conversion at :1527-1533)
     return CropFrame.from_batch(batch['cam_para'], batch['center'],
-                                batch['M'], batch['cube'], flip=flip,
+                                batch['M'], batch['cube'], flip=1.0,
                                 img_size=cfg.input_size)
 
 

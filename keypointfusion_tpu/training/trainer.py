@@ -156,6 +156,16 @@ class Trainer:
         self.min_error = float('inf')
         self.start_epoch = 0
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
+        if cfg.resume:
+            self.resume('latest')
+
+    def resume(self, name: str = 'latest'):
+        """FULL resume: params, batch stats, optimizer state, step and
+        epoch (unlike the reference, which saved but never restored the
+        optimizer/epoch — train.py:97-107)."""
+        self.state, epoch = self.ckpt.restore(name, self.state)
+        self.start_epoch = epoch + 1
+        logging.info('resumed from %s at epoch %d', name, epoch)
 
     def _load_torch_checkpoint(self, path: str):
         """Warm-start from a released reference .pth
@@ -191,6 +201,7 @@ class Trainer:
                                  seed=cfg.seed + epoch)
             epoch_arr = jnp.asarray(epoch, jnp.int32)
             t0 = time.time()
+            metrics = None
             for ii, batch in enumerate(device_prefetch(loader, sharding)):
                 self._rng, step_rng = jax.random.split(self._rng)
                 self.state, metrics = self.train_step(
@@ -202,8 +213,13 @@ class Trainer:
                     host['steps_per_sec'] = (ii + 1) / (time.time() - t0)
                     self.logger.log(step, host)
 
-            test_error = self.test(epoch) if self.test_data else \
-                float(jax.device_get(metrics['loss']))
+            if self.test_data:
+                test_error = self.test(epoch)
+            elif metrics is not None:
+                test_error = float(jax.device_get(metrics['loss']))
+            else:
+                logging.warning('epoch %d produced no batches', epoch)
+                test_error = float('inf')
             if test_error <= self.min_error:
                 self.min_error = test_error
                 self.ckpt.save('best', self.state, epoch)
@@ -222,6 +238,17 @@ class Trainer:
             return uvd_nl_to_xyz_nl(joint_uvd, frame)
         return results[index]
 
+    @staticmethod
+    def _pad_batch(batch, batch_size: int):
+        """Pad a partial final batch to full size by repeating the last
+        sample (keeps batch-axis sharding legal); returns (batch, n_real)."""
+        n = next(iter(batch.values())).shape[0]
+        if n == batch_size:
+            return batch, n
+        pad = batch_size - n
+        return {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in batch.items()}, n
+
     def test(self, epoch: int = -1) -> float:
         """Per-stage mean / Procrustes-aligned errors + AUC printouts
         (reference train.py:304-399)."""
@@ -234,7 +261,11 @@ class Trainer:
         pa_sum = np.zeros(n_stage)
         nb = 0
         first_last_errors = [[], []]
-        for batch in device_prefetch(loader, sharding):
+        for raw in loader:
+            batch, n_real = self._pad_batch(raw, cfg.batch_size)
+            if sharding is not None:
+                batch = {k: jax.device_put(np.asarray(v), sharding)
+                         for k, v in batch.items()}
             results, _ = self.eval_step(self.state, batch)
             frame = frame_from_batch(batch, cfg)
             for index, stage in enumerate(cfg.stage_type):
@@ -244,12 +275,14 @@ class Trainer:
                                       batch['center'], batch['cube'])
                 pa = pa_error_mm(joint_xyz, batch['xyz_gt'],
                                  batch['center'], batch['cube'])
-                err_sum[index] += float(jnp.mean(err))
-                pa_sum[index] += float(jnp.mean(pa))
+                err = np.asarray(err)[:n_real]
+                pa = np.asarray(pa)[:n_real]
+                err_sum[index] += float(np.mean(err))
+                pa_sum[index] += float(np.mean(pa))
                 if index == 0:
-                    first_last_errors[0].append(np.asarray(err))
+                    first_last_errors[0].append(err)
                 if index == n_stage - 1:
-                    first_last_errors[1].append(np.asarray(err))
+                    first_last_errors[1].append(err)
             nb += 1
         if nb == 0:
             return float('inf')

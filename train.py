@@ -13,8 +13,14 @@ import dataclasses
 def parse_config():
     from keypointfusion_tpu.config import Config
     parser = argparse.ArgumentParser()
+    def str2bool(v):
+        return str(v).lower() in ('1', 'true', 'yes', 'y')
+
     for f in dataclasses.fields(Config):
-        if isinstance(f.default, (str, int, float)):
+        if isinstance(f.default, bool):
+            parser.add_argument(f'--{f.name}', type=str2bool,
+                                default=f.default)
+        elif isinstance(f.default, (str, int, float)):
             parser.add_argument(f'--{f.name}', type=type(f.default),
                                 default=f.default)
     args = parser.parse_args()
@@ -22,6 +28,9 @@ def parse_config():
 
 
 def main():
+    from keypointfusion_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     cfg = parse_config()
     from keypointfusion_tpu.training.trainer import Trainer
     trainer = Trainer(cfg)
