@@ -122,6 +122,9 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    if not cfg.sync_batchnorm:
+        return _make_per_shard_bn_step(cfg, mesh)
+
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
     return jax.jit(
@@ -129,6 +132,56 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
         in_shardings=(rsh, bsh, rsh, rsh),
         out_shardings=(rsh, rsh),
         donate_argnums=(0,))
+
+
+def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
+    """Per-shard BatchNorm training step via shard_map — exact parity with
+    the reference's torch.nn.DataParallel, which computes BN statistics per
+    GPU (SURVEY.md §5.8). Each shard runs forward/backward on its local
+    sub-batch with LOCAL batch stats; gradients and metrics are pmean'd
+    over the data axis; running stats are pmean'd (torch DP effectively
+    keeps only the master replica's — averaging is the less arbitrary
+    choice and identical in expectation)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    kernel = cfg.feature_para[0]
+    axis = cfg.mesh_axis
+
+    def local_step(state: TrainState, batch, rng, epoch):
+        frame = frame_from_batch(batch, cfg)
+
+        def loss_fn(params):
+            (results, sw), new_state = state.model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['rgb'], batch['depth'], batch['pcl'], frame,
+                kernel, True, rngs={'dropout': rng},
+                mutable=['batch_stats'])
+            loss, metrics = compute_losses(
+                results, sw, batch['depth'], batch['uvd_gt'],
+                batch['xyz_gt'], frame, cfg, epoch)
+            return loss, (new_state['batch_stats'], metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params)
+        grads = jax.lax.pmean(grads, axis)
+        new_bs = jax.lax.pmean(new_bs, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    state_spec = P()
+    batch_spec = P(axis)
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(state_spec, batch_spec, state_spec, state_spec),
+        out_specs=(state_spec, state_spec),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
