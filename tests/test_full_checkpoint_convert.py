@@ -15,8 +15,9 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
-@pytest.fixture(scope="module")
-def ref_kpfusion():
+def build_reference_kpfusion():
+    """Instantiate the real reference KPFusion on CPU with all absent/CUDA
+    deps stubbed. Shared by the conversion and full-forward parity tests."""
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference not mounted")
     # stubs for CUDA/absent deps (need real __spec__ for transformers'
@@ -95,6 +96,11 @@ def ref_kpfusion():
     finally:
         os.chdir(cwd)
     return net
+
+
+@pytest.fixture(scope="module")
+def ref_kpfusion():
+    return build_reference_kpfusion()
 
 
 def test_full_conversion_structure_and_backbone_parity(ref_kpfusion):
