@@ -397,6 +397,18 @@ class NYUDataset(_Base):
         img = cv2.imread(path).astype(np.int32)
         return np.asarray(img[:, :, 0] + img[:, :, 1] * 256, np.float32)
 
+    def read_model_para(self, data_rt: str, view: int = 0) -> np.ndarray:
+        """Optional fitted-MANO parameter files (reference
+        loader.py:1007-1020): concat [quat(3), theta(45), shape(10),
+        scale(1), trans(3)] per sample."""
+        base = f'{data_rt}/posePara_lm_collosion/nyu-{self.split}-{view}'
+        theta = np.loadtxt(f'{base}-pose.txt').reshape(-1, 45)
+        quat = np.loadtxt(f'{base}-glb.txt').reshape(-1, 3)
+        scale = np.loadtxt(f'{base}-scale.txt').reshape(-1, 1)
+        trans = np.loadtxt(f'{base}-trans.txt').reshape(-1, 3)
+        shape = np.loadtxt(f'{base}-shape.txt').reshape(-1, 10)
+        return np.concatenate([quat, theta, shape, scale, trans], axis=-1)
+
     def __getitem__(self, idx):
         path = f'{self.data_path}/depth_1_{idx + 1:07d}.png'
         depth = self.read_depth(path)

@@ -85,3 +85,16 @@ def batch_uvd_to_xyz(uvd, cam_para, flip: float = 1.0):
     from keypointfusion_tpu.geometry.camera import points_img_to_3d
     return points_img_to_3d(uvd, cam_para[:, 0], cam_para[:, 1],
                             cam_para[:, 2], cam_para[:, 3], flip)
+
+
+class Compose:
+    """Sequential transform composition (reference
+    util/object_transform.py `Compose`)."""
+
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x

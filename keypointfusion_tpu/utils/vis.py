@@ -70,3 +70,53 @@ def draw_2d_pose_rgb(rgb_hw3: np.ndarray, joint_uvd_nl: np.ndarray,
     joints = (np.asarray(joint_uvd_nl) + 1) / 2 * s
     img = (np.asarray(rgb_hw3) * 255).astype(np.uint8)
     return draw_pose(dataset, img, joints)
+
+
+def draw_heatmap(depth_hw1, heatmap_hw, alpha: float = 0.5) -> np.ndarray:
+    """Overlay a per-joint heatmap on a depth crop (debug renderer,
+    vis_tool.py heatmap debug family)."""
+    s = depth_hw1.shape[0]
+    gray = ((np.asarray(depth_hw1)[..., 0] + 1) / 2 * 255).astype(np.uint8)
+    base = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
+    hm = np.asarray(heatmap_hw)
+    hm = hm / (hm.max() + 1e-8)
+    hm_img = cv2.applyColorMap((hm * 255).astype(np.uint8),
+                               cv2.COLORMAP_JET)
+    if hm_img.shape[:2] != (s, s):
+        hm_img = cv2.resize(hm_img, (s, s), interpolation=cv2.INTER_NEAREST)
+    return cv2.addWeighted(base, 1 - alpha, hm_img, alpha, 0)
+
+
+def draw_offset_field(depth_hw1, offset_map, joint_id: int = 0,
+                      stride: int = 4) -> np.ndarray:
+    """Arrow rendering of a joint's dense unit-offset field (debug
+    renderer). offset_map [H,W,4J+] with joint-major 3J offsets."""
+    s = depth_hw1.shape[0]
+    gray = ((np.asarray(depth_hw1)[..., 0] + 1) / 2 * 255).astype(np.uint8)
+    img = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
+    off = np.asarray(offset_map)
+    h = off.shape[0]
+    scale = s / h
+    for y in range(0, h, stride):
+        for x in range(0, h, stride):
+            du = off[y, x, joint_id * 3 + 0]
+            dv = off[y, x, joint_id * 3 + 1]
+            if du == 0 and dv == 0:
+                continue
+            p0 = (int(x * scale), int(y * scale))
+            p1 = (int(x * scale + du * 8), int(y * scale + dv * 8))
+            cv2.arrowedLine(img, p0, p1, (0, 255, 0), 1, tipLength=0.3)
+    return img
+
+
+def draw_pcl(pcl, size: int = 256) -> np.ndarray:
+    """Top-down scatter of a normalized point cloud (debug renderer)."""
+    img = np.zeros((size, size, 3), np.uint8)
+    pts = np.asarray(pcl)
+    uv = ((pts[:, :2] + 1) / 2 * size).astype(int)
+    keep = (uv[:, 0] >= 0) & (uv[:, 0] < size) & (uv[:, 1] >= 0) & \
+        (uv[:, 1] < size)
+    depth_color = ((pts[keep, 2] + 1) / 2 * 255).astype(np.uint8)
+    for (u, v), c in zip(uv[keep], depth_color):
+        cv2.circle(img, (u, v), 1, (int(c), 128, 255 - int(c)), -1)
+    return img
