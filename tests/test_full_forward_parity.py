@@ -125,20 +125,16 @@ def test_full_forward_parity(monkeypatch):
          'batch_stats': converted['batch_stats']},
         jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(pcl), frame)
 
-    # dense maps (NCHW vs NHWC)
-    for i in (0, 1):
-        want = np.moveaxis(ref_results[i].numpy(), 1, -1)
-        np.testing.assert_allclose(
-            np.asarray(results[i]), want, rtol=1e-2, atol=1e-3,
-            err_msg=f'dense result_{i}')
-    # refined joints from both fusion stages
-    for i in (2, 3, 4, 5):
+    # measured max abs deviation across all outputs is ~5e-5 (float
+    # accumulation order only) — assert with a 10x margin
+    for i in range(6):
         want = ref_results[i].numpy()
+        if want.ndim == 4:
+            want = np.moveaxis(want, 1, -1)
         np.testing.assert_allclose(
-            np.asarray(results[i]), want, rtol=2e-2, atol=5e-3,
-            err_msg=f'joints result_{i}')
-    # spatial weight maps
+            np.asarray(results[i]), want, rtol=0, atol=5e-4,
+            err_msg=f'result_{i}')
     for k in (0, 1):
         want = np.moveaxis(ref_sw[k].numpy(), 1, -1)
-        np.testing.assert_allclose(np.asarray(sw[k]), want, rtol=1e-2,
-                                   atol=1e-3, err_msg=f'spatial_weight_{k}')
+        np.testing.assert_allclose(np.asarray(sw[k]), want, rtol=0,
+                                   atol=5e-4, err_msg=f'spatial_weight_{k}')
