@@ -29,7 +29,12 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, drop_last: bool = True,
-                 seed: int = 0, max_prefetch: int = 4):
+                 seed: int = 0, max_prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1):
+        """process_index/process_count: multi-host data sharding — each
+        host iterates a disjoint 1/process_count slice of the (shared-seed
+        shuffled) index order, the standard jax multi-process input
+        pattern (pass jax.process_index()/jax.process_count())."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,10 +42,16 @@ class BatchLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.max_prefetch = max_prefetch
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self._epoch = 0
 
+    def _local_len(self):
+        return len(self.dataset) // self.process_count \
+            if self.process_count > 1 else len(self.dataset)
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._local_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -50,6 +61,9 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count][
+                :self._local_len()]
         self._epoch += 1
         nb = len(self)
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]

@@ -110,3 +110,16 @@ def test_batch_loader(dexycb_root):
     assert len(batches) == 3
     assert batches[0]['rgb'].shape == (2, 128, 128, 3)
     assert batches[0]['pcl'].shape == (2, 64, 3)
+
+
+def test_batch_loader_process_sharding(dexycb_root):
+    """Multi-host sharding: disjoint per-process slices covering the set."""
+    ds = DexYCBDataset('s0', 'test', dexycb_root, sample_num=64)
+    seen = []
+    for pi in range(2):
+        loader = BatchLoader(ds, batch_size=1, shuffle=True, num_workers=1,
+                             seed=7, process_index=pi, process_count=2)
+        assert len(loader) == 3
+        for b in loader:
+            seen.append(b['center'][0].tobytes())
+    assert len(set(seen)) == 6  # disjoint coverage of all 6 samples
