@@ -75,7 +75,18 @@ class ModelRGBD:
                                          b['cube'])
             variables = self.model.init(jax.random.PRNGKey(0), b['rgb'],
                                         b['depth'], b['pcl'], frame)
-            if cfg.load_model:
+            if cfg.load_model and cfg.load_model.endswith('.pth'):
+                # released reference checkpoint → converter
+                import torch
+                from keypointfusion_tpu.utils.torch_convert import (
+                    convert_kpfusion_checkpoint)
+                depth_n = int(cfg.net.split('-')[-1]) \
+                    if 'resnet' in cfg.net else 18
+                ckpt = torch.load(cfg.load_model, map_location='cpu')
+                conv = convert_kpfusion_checkpoint(ckpt, depth=depth_n)
+                variables = {'params': conv['params'],
+                             'batch_stats': conv['batch_stats']}
+            elif cfg.load_model:
                 from keypointfusion_tpu.training.trainer import Checkpointer
                 import os.path as osp
                 ckpt = Checkpointer(osp.dirname(cfg.load_model) or '.')
