@@ -252,6 +252,11 @@ class Trainer:
     def test(self, epoch: int = -1) -> float:
         """Per-stage mean / Procrustes-aligned errors + AUC printouts
         (reference train.py:304-399)."""
+        if self.test_data is None:
+            raise RuntimeError(
+                f"no test split available — check Config.root_dir "
+                f"({self.cfg.root_dir!r}) points at the {self.cfg.dataset} "
+                f"dataset tree")
         cfg = self.cfg
         loader = BatchLoader(self.test_data, cfg.batch_size, shuffle=False,
                              num_workers=8, drop_last=False)
