@@ -202,10 +202,14 @@ class Trainer:
             epoch_arr = jnp.asarray(epoch, jnp.int32)
             t0 = time.time()
             metrics = None
+            # pre-split all step rngs: a per-step jax.random.split is an
+            # extra device dispatch that stalls pipelining on high-latency
+            # links (measured 2x step time through the remote tunnel)
+            step_rngs = jax.random.split(self._rng, len(loader) + 1)
+            self._rng = step_rngs[0]
             for ii, batch in enumerate(device_prefetch(loader, sharding)):
-                self._rng, step_rng = jax.random.split(self._rng)
                 self.state, metrics = self.train_step(
-                    self.state, batch, step_rng, epoch_arr)
+                    self.state, batch, step_rngs[ii + 1], epoch_arr)
                 if ii % 50 == 0:
                     step = int(jax.device_get(self.state.step))
                     host = {k: float(v) for k, v in
