@@ -65,14 +65,15 @@ def generate_patch_image(img, bbox, scale, rot, transl, do_flip, out_shape
 
 def patch_augmentation(img, bbox, train: bool, out_shape=(256, 256),
                        rng: _random.Random = None, exclude_flip=False):
-    """bbox-crop augmentation pipeline (reference preprocess.py:453-461)."""
+    """bbox-crop augmentation pipeline (reference preprocess.py:429-461):
+    scale in [0.9, 1.1], rotation +-180 deg, translation +-10 px, color
+    scale +-20%, 50% flip."""
     rng = rng or _random
     if train:
-        scale = np.clip(rng.random(), 0, 1) * 0.3 + 1.0 \
-            if hasattr(rng, 'random') else 1.0
-        rot = (np.clip(rng.random(), 0, 1) * 2 - 1) * 30
-        transl = (0.0, 0.0)
-        color = np.array([1 + (rng.random() - 0.5) * 0.4 for _ in range(3)])
+        scale = rng.random() * (1.1 - 0.9) + 0.9
+        rot = (rng.random() * 2 - 1) * 180
+        transl = ((rng.random() * 2 - 1) * 10, (rng.random() * 2 - 1) * 10)
+        color = np.array([rng.uniform(0.8, 1.2) for _ in range(3)])
         do_flip = (not exclude_flip) and rng.random() <= 0.5
     else:
         scale, rot, transl = 1.0, 0.0, (0.0, 0.0)

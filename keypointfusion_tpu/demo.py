@@ -77,13 +77,10 @@ class ModelRGBD:
                                         b['depth'], b['pcl'], frame)
             if cfg.load_model and cfg.load_model.endswith('.pth'):
                 # released reference checkpoint → converter
-                import torch
                 from keypointfusion_tpu.utils.torch_convert import (
-                    convert_kpfusion_checkpoint)
-                depth_n = int(cfg.net.split('-')[-1]) \
-                    if 'resnet' in cfg.net else 18
-                ckpt = torch.load(cfg.load_model, map_location='cpu')
-                conv = convert_kpfusion_checkpoint(ckpt, depth=depth_n)
+                    load_torch_checkpoint_variables)
+                conv = load_torch_checkpoint_variables(cfg.load_model,
+                                                       cfg.net)
                 variables = {'params': conv['params'],
                              'batch_stats': conv['batch_stats']}
             elif cfg.load_model:

@@ -35,16 +35,16 @@ def auto_mesh(batch_size: int, axis: str = 'data') -> Mesh:
     return make_mesh(n, axis)
 
 
-def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
-    return NamedSharding(mesh, P(axis))
+def batch_sharding(mesh: Mesh, axis: str = None) -> NamedSharding:
+    return NamedSharding(mesh, P(axis or mesh.axis_names[0]))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
+def shard_batch(batch, mesh: Mesh, axis: str = None):
     """Place every [B, ...] array in the pytree with its batch dim sharded
     over the mesh."""
-    sh = batch_sharding(mesh, axis)
+    sh = batch_sharding(mesh, axis or mesh.axis_names[0])
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

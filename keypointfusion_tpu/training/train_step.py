@@ -146,10 +146,13 @@ def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
     from jax.sharding import PartitionSpec as P
 
     kernel = cfg.feature_para[0]
-    axis = cfg.mesh_axis
+    axis = mesh.axis_names[0]
 
     def local_step(state: TrainState, batch, rng, epoch):
         frame = frame_from_batch(batch, cfg)
+        # independent dropout masks per shard (torch DP replicas draw
+        # independent masks; a replicated key would reuse one mask)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def loss_fn(params):
             (results, sw), new_state = state.model.apply(

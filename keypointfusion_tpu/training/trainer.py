@@ -132,7 +132,7 @@ class Trainer:
             filename=osp.join(self.model_dir, 'train.log'),
             level=logging.INFO, force=False)
 
-        self.mesh = auto_mesh(cfg.batch_size) \
+        self.mesh = auto_mesh(cfg.batch_size, cfg.mesh_axis) \
             if use_mesh and len(jax.devices()) > 1 else None
         self.logger = MetricsLogger(osp.join(self.model_dir, 'runs'))
         self.ckpt = Checkpointer(osp.join(self.model_dir, 'ckpt'))
@@ -170,13 +170,9 @@ class Trainer:
     def _load_torch_checkpoint(self, path: str):
         """Warm-start from a released reference .pth
         (reference train.py:100-117's partial merge, via the converter)."""
-        import torch
         from keypointfusion_tpu.utils.torch_convert import (
-            convert_kpfusion_checkpoint)
-        depth = int(self.cfg.net.split('-')[-1]) \
-            if 'resnet' in self.cfg.net else 18
-        ckpt = torch.load(path, map_location='cpu')
-        converted = convert_kpfusion_checkpoint(ckpt, depth=depth)
+            load_torch_checkpoint_variables)
+        converted = load_torch_checkpoint_variables(path, self.cfg.net)
         converted = jax.tree_util.tree_map(jnp.asarray, converted)
         return self.state.replace(params=converted['params'],
                                   batch_stats=converted['batch_stats'])

@@ -322,6 +322,21 @@ def convert_fusion_block(sd, prefix: str) -> Tuple[Dict, Dict]:
 
 # ------------------------------------------------------------ kpfusion ----
 
+def load_torch_checkpoint_variables(path: str,
+                                    net: str = 'KPFusion-resnet-18'
+                                    ) -> Dict:
+    """Load a released reference .pth and convert to flax variables.
+    Shared by the Trainer warm-start and the demo."""
+    if 'resnet' not in net:
+        raise NotImplementedError(
+            f"released-checkpoint conversion currently supports the "
+            f"resnet backbones only (got net={net!r}); use "
+            f"convert_convnext-style converters per submodule instead")
+    import torch
+    ckpt = torch.load(path, map_location='cpu')
+    return convert_kpfusion_checkpoint(ckpt, depth=int(net.split('-')[-1]))
+
+
 def convert_kpfusion_checkpoint(checkpoint: Dict, depth: int = 18) -> Dict:
     """Full released-checkpoint conversion: torch `{'model': state_dict}`
     (train.py:271-276) → flax variables {'params', 'batch_stats'}."""

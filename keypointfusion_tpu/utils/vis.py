@@ -95,10 +95,10 @@ def draw_offset_field(depth_hw1, offset_map, joint_id: int = 0,
     gray = ((np.asarray(depth_hw1)[..., 0] + 1) / 2 * 255).astype(np.uint8)
     img = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
     off = np.asarray(offset_map)
-    h = off.shape[0]
+    h, w = off.shape[:2]
     scale = s / h
     for y in range(0, h, stride):
-        for x in range(0, h, stride):
+        for x in range(0, w, stride):
             du = off[y, x, joint_id * 3 + 0]
             dv = off[y, x, joint_id * 3 + 1]
             if du == 0 and dv == 0:
