@@ -1,0 +1,75 @@
+"""Multi-chip dry-run body: jit the FULL sharded train step over an
+n-device mesh and execute one step on tiny shapes.
+
+Run via ``python -m keypointfusion_tpu.parallel.dryrun N``. The platform is
+forced to CPU with N virtual devices BEFORE any jax backend initialization —
+the env var alone is not enough once another platform plugin (e.g. the axon
+TPU tunnel) has registered, so `__graft_entry__.dryrun_multichip` always
+invokes this module in a fresh subprocess.
+
+This is the TPU-native replacement check for the reference's
+torch.nn.DataParallel (reference train.py:81): a 1-D batch-axis mesh, with
+both BatchNorm policies exercised —
+  * sync-BN: plain jit with NamedShardings (XLA/GSPMD inserts the gradient
+    all-reduce and global BN reductions over ICI),
+  * per-shard BN: shard_map with explicit lax.pmean of grads/stats (exact
+    DataParallel parity, SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _force_cpu(n_devices: int) -> None:
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    flags = [f for f in os.environ.get('XLA_FLAGS', '').split()
+             if 'xla_force_host_platform_device_count' not in f]
+    flags.append(f'--xla_force_host_platform_device_count={n_devices}')
+    os.environ['XLA_FLAGS'] = ' '.join(flags)
+
+
+def run(n_devices: int) -> None:
+    _force_cpu(n_devices)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keypointfusion_tpu.config import Config
+    from keypointfusion_tpu.data.synthetic import synthetic_batch
+    from keypointfusion_tpu.parallel.mesh import (
+        make_mesh, replicated_sharding, shard_batch)
+    from keypointfusion_tpu.training.train_step import (
+        create_train_state, make_train_step)
+
+    ndev = len(jax.devices())
+    assert ndev >= n_devices, (
+        f"expected >= {n_devices} virtual CPU devices, got {ndev} "
+        f"({jax.devices()[0].platform})")
+    assert jax.devices()[0].platform == 'cpu', jax.devices()[0]
+
+    mesh = make_mesh(n_devices)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(batch_size=n_devices, point_num=128).items()}
+
+    rng = jax.random.PRNGKey(0)
+    for sync_bn in (True, False):
+        cfg = Config(sync_batchnorm=sync_bn)
+        state = create_train_state(cfg, rng, batch, steps_per_epoch=10)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        sharded = shard_batch(batch, mesh)
+        train_step = make_train_step(cfg, mesh)
+        state, metrics = train_step(state, sharded, jax.random.PRNGKey(1),
+                                    jnp.zeros((), jnp.int32))
+        loss = float(metrics['loss'])
+        assert np.isfinite(loss), f"non-finite loss {loss}"
+        mode = 'sync-BN/jit' if sync_bn else 'per-shard-BN/shard_map'
+        print(f"dryrun_multichip({n_devices}) [{mode}]: ok, "
+              f"loss={loss:.4f}", flush=True)
+
+
+if __name__ == '__main__':
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
