@@ -171,6 +171,98 @@ def convert_resnet_unet(sd, depth: int, prefix: str = ''
     return params, stats
 
 
+# ------------------------------------------------------------ convnext ----
+
+def conv2d_with_bias(sd, name):
+    out = {'kernel': conv2d(sd, name)}
+    if f'{name}.bias' in sd:
+        out['bias'] = _np(sd[f'{name}.bias'])
+    return out
+
+
+def convert_convnext(sd, depths, prefix: str = '',
+                     include_stem: bool = True) -> Dict:
+    """ConvNeXt encoder state_dict → models.convnext.ConvNeXt params
+    (LayerNorm only, no batch stats). Reference convNeXT/convnext.py:55-186.
+    The classifier `norm`/`head` keys are ignored — the UNet only uses
+    forward_features (convNeXT/convnext.py:111-117). torch depthwise Conv2d
+    weights [dim,1,7,7] transpose straight into flax grouped-conv kernels
+    [7,7,1,dim]."""
+    p = lambda n: prefix + n
+    params: Dict = {}
+    if include_stem:
+        params['stem_conv'] = conv2d_with_bias(sd,
+                                               p('downsample_layers.0.0'))
+        params['stem_norm'] = layernorm(sd, p('downsample_layers.0.1'))
+    for i in range(1, 4):
+        params[f'down_norm{i}'] = layernorm(
+            sd, p(f'downsample_layers.{i}.0'))
+        params[f'down_conv{i}'] = conv2d_with_bias(
+            sd, p(f'downsample_layers.{i}.1'))
+    for i, nblocks in enumerate(depths):
+        for j in range(nblocks):
+            tp = p(f'stages.{i}.{j}')
+            params[f'stage{i}_block{j}'] = {
+                'dwconv': conv2d_with_bias(sd, f'{tp}.dwconv'),
+                'norm': layernorm(sd, f'{tp}.norm'),
+                'pwconv1': dense(sd, f'{tp}.pwconv1'),
+                'pwconv2': dense(sd, f'{tp}.pwconv2'),
+                'gamma': _np(sd[f'{tp}.gamma']),
+            }
+    return params
+
+
+def convert_convnext_imagenet(checkpoint: Dict, size: str) -> Dict:
+    """Released ImageNet ConvNeXt checkpoint {'model': sd}
+    (convNeXT/resnetUnet.py:46-58 URLs) → backbone params WITHOUT the stem:
+    the reference loads the 3-ch ImageNet weights and then immediately
+    REPLACES downsample_layers[0] with a fresh randomly-initialized conv+LN
+    matched to the input channel count (convNeXT/resnetUnet.py:105-109), so
+    pretrained stem weights never survive. Merge the returned tree over a
+    freshly initialized ConvNeXtUNet params['backbone']."""
+    from keypointfusion_tpu.models.convnext import MODEL_LIST, resolve_size
+    depths, _ = MODEL_LIST[resolve_size(size)]
+    sd = strip_module_prefix(checkpoint.get('model', checkpoint))
+    return convert_convnext(sd, depths, include_stem=False)
+
+
+def convert_convnext_unet(sd, size: str, prefix: str = '',
+                          deconv_dim: int = 128) -> Tuple[Dict, Dict]:
+    """convNeXTUnet / convNeXTUnet_RGB2offset_3D
+    (convNeXT/resnetUnet.py:60-248) → models.convnext.ConvNeXtUNet
+    variables. `feat_emb` is dead in the reference forward (result_emb is
+    applied to both outputs, convNeXT/resnetUnet.py:145-152), so its
+    weights are intentionally dropped."""
+    from keypointfusion_tpu.models.convnext import MODEL_LIST, resolve_size
+    depths, dims = MODEL_LIST[resolve_size(size)]
+    p = lambda n: prefix + n
+    params: Dict = {'backbone': convert_convnext(sd, depths,
+                                                 p('backbone.'))}
+    stats: Dict = {}   # the ConvNeXt encoder is LN-only; BN lives in the
+    # decoder Residuals
+    residuals = [
+        ('up4', p('up4.0'), dims[3], dims[3]),
+        ('skip_layer4', p('skip_layer4'), dims[2], dims[2]),
+        ('fusion_layer4', p('fusion_layer4'), dims[2] + dims[3], dims[2]),
+        ('up3', p('up3.0'), dims[2], dims[2]),
+        ('skip_layer3', p('skip_layer3'), dims[1], dims[1]),
+        ('fusion_layer3', p('fusion_layer3'), dims[2] + dims[1], dims[1]),
+        ('up2', p('up2.0'), dims[1], dims[1]),
+        ('skip_layer2', p('skip_layer2'), dims[0], dims[0]),
+        ('fusion_layer2', p('fusion_layer2'), dims[1] + dims[0],
+         deconv_dim),
+        ('result_emb', p('result_emb'), deconv_dim, deconv_dim),
+    ]
+    for fname, tname, ind, outd in residuals:
+        params[fname], stats[fname] = convert_residual_with_skip(
+            sd, tname, need_skip=(ind != outd))
+    for i in range(3):
+        params[f'final_{i}'] = {
+            'kernel': conv2d(sd, p(f'finals.{i}')),
+            'bias': _np(sd[p(f'finals.{i}.bias')])}
+    return params, stats
+
+
 # --------------------------------------------------------------- bert ----
 
 def convert_mha_bert(sd, prefix: str, heads: int) -> Dict:
@@ -320,34 +412,65 @@ def convert_fusion_block(sd, prefix: str) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def merge_partial(init: Dict, loaded: Dict) -> Tuple[Dict, list, list]:
+    """Filtered state merge: take every leaf of `loaded` whose path exists
+    in `init` with a matching shape; keep `init`'s leaf otherwise. This is
+    the reference's warm-start/fine-tune semantics (train.py:100-117:
+    `{k: v for k, v in checkpoint.items() if k in model_dict}`), extended
+    with a shape gate so e.g. a 21-joint checkpoint warm-starts a 14-joint
+    NYU model. Returns (merged, used_paths, skipped_paths)."""
+    import jax
+
+    flat_loaded = dict(jax.tree_util.tree_leaves_with_path(loaded))
+    used, skipped = [], []
+
+    def merge_leaf(path, leaf):
+        cand = flat_loaded.get(path)
+        if cand is not None and tuple(np.shape(cand)) == tuple(
+                np.shape(leaf)):
+            used.append(jax.tree_util.keystr(path))
+            return cand
+        if cand is not None:
+            skipped.append(jax.tree_util.keystr(path))
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(merge_leaf, init)
+    return merged, used, skipped
+
+
 # ------------------------------------------------------------ kpfusion ----
 
 def load_torch_checkpoint_variables(path: str,
                                     net: str = 'KPFusion-resnet-18'
                                     ) -> Dict:
     """Load a released reference .pth and convert to flax variables.
-    Shared by the Trainer warm-start and the demo."""
-    if 'resnet' not in net:
-        raise NotImplementedError(
-            f"released-checkpoint conversion currently supports the "
-            f"resnet backbones only (got net={net!r}); use "
-            f"convert_convnext-style converters per submodule instead")
+    Shared by the Trainer warm-start and the demo. Dispatches on the net
+    name, matching the reference backbone selection (model/model.py:363-373).
+    """
     import torch
     ckpt = torch.load(path, map_location='cpu')
-    return convert_kpfusion_checkpoint(ckpt, depth=int(net.split('-')[-1]))
+    return convert_kpfusion_checkpoint(ckpt, net=net)
 
 
-def convert_kpfusion_checkpoint(checkpoint: Dict, depth: int = 18) -> Dict:
+def convert_kpfusion_checkpoint(checkpoint: Dict, depth: int = 18,
+                                net: str = None) -> Dict:
     """Full released-checkpoint conversion: torch `{'model': state_dict}`
-    (train.py:271-276) → flax variables {'params', 'batch_stats'}."""
+    (train.py:271-276) → flax variables {'params', 'batch_stats'} for
+    either backbone family (resnet depth or convnext size, per the net
+    name, e.g. 'KPFusion-resnet-18' / 'KPFusion-convnext-tiny')."""
     sd = checkpoint.get('model', checkpoint)
     sd = strip_module_prefix(sd)
+    if net is not None and 'convnext' in net:
+        size = net.split('-')[-1]
+        convert = lambda pre: convert_convnext_unet(sd, size, pre)
+    else:
+        if net is not None:
+            depth = int(net.split('-')[-1])
+        convert = lambda pre: convert_resnet_unet(sd, depth, pre)
     params: Dict = {}
     stats: Dict = {}
-    params['backbone_d'], stats['backbone_d'] = convert_resnet_unet(
-        sd, depth, 'backbone_d.')
-    params['backbone_rgb'], stats['backbone_rgb'] = convert_resnet_unet(
-        sd, depth, 'backbone_rgb.')
+    params['backbone_d'], stats['backbone_d'] = convert('backbone_d.')
+    params['backbone_rgb'], stats['backbone_rgb'] = convert('backbone_rgb.')
     for i in (1, 2):
         params[f'block{i}'], stats[f'block{i}'] = convert_fusion_block(
             sd, f'block{i}')

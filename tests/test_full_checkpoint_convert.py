@@ -15,9 +15,10 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
-def build_reference_kpfusion():
+def build_reference_kpfusion(net='KPFusion-resnet-18', pretrain='1k'):
     """Instantiate the real reference KPFusion on CPU with all absent/CUDA
-    deps stubbed. Shared by the conversion and full-forward parity tests."""
+    deps stubbed. Shared by the conversion and full-forward parity tests.
+    For convnext nets pass pretrain='' (the URL load needs egress)."""
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference not mounted")
     # stubs for CUDA/absent deps (need real __spec__ for transformers'
@@ -89,8 +90,7 @@ def build_reference_kpfusion():
     try:
         torch.manual_seed(0)
         from model.model import KPFusion as RefKPFusion  # type: ignore
-        net = RefKPFusion('KPFusion-resnet-18', '1k', 21, 'dexycb',
-                          './MANO/').eval()
+        net = RefKPFusion(net, pretrain, 21, 'dexycb', './MANO/').eval()
     except Exception as e:
         pytest.skip(f"reference KPFusion unimportable: {e}")
     finally:
