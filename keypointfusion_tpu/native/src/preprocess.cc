@@ -66,17 +66,25 @@ int crop_normalize(const float* depth, int height, int width,
   out_M[5] = (float)(pad_y - scale * ystart);
 
   // one fused pass: nearest gather + z-threshold; track premax like the
-  // python path (normalize uses the crop's max, loader.py:595-596)
-  const double inv_sx = (double)wb / sz_x;
-  const double inv_sy = (double)hb / sz_y;
+  // python path (normalize uses the crop's max, loader.py:595-596).
+  // cv2 INTER_NEAREST maps dst→src as floor(dst * (1.0/inv_scale)) where
+  // inv_scale = (double)dst/src — the double-rounding of the reciprocal
+  // differs from floor(dst*src/dst) at exact integer crossings (e.g.
+  // src=246,dst=128: 64*(1/(128/246.)) = 122.9999... → 122, while
+  // 64*246/128 = 123). Replicate cv2's arithmetic exactly.
+  const double inv_sx = 1.0 / ((double)sz_x / (double)wb);
+  const double inv_sy = 1.0 / ((double)sz_y / (double)hb);
   float premax = -1e30f;
   for (int oy = 0; oy < img_size; ++oy) {
     for (int ox = 0; ox < img_size; ++ox) {
       float v = 0.f;
       const long ry = oy - pad_y, rx = ox - pad_x;
       if (ry >= 0 && ry < sz_y && rx >= 0 && rx < sz_x) {
-        const long sy = ystart + (long)std::floor(ry * inv_sy);
-        const long sx = xstart + (long)std::floor(rx * inv_sx);
+        // cv2 clamps the source index to the crop extent (resizeNN)
+        const long sy = ystart + std::min((long)std::floor(ry * inv_sy),
+                                          hb - 1);
+        const long sx = xstart + std::min((long)std::floor(rx * inv_sx),
+                                          wb - 1);
         if (sy >= 0 && sy < height && sx >= 0 && sx < width) {
           v = depth[sy * width + sx];
         }

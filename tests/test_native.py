@@ -37,7 +37,7 @@ def test_crop_normalize_parity():
         got, Mn = native.crop_normalize(depth, center, CUBE,
                                         np.asarray(PARAS, np.float32), 128)
         np.testing.assert_allclose(Mn, M, rtol=1e-5)
-        assert np.mean(np.abs(got - want) < 1e-4) > 0.999
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_depth_to_pcl_parity():
