@@ -4,8 +4,8 @@ the joint error trajectory to a committed metrics file.
 Run:  python scripts/overfit_sanity.py [--steps 300] [--out PATH]
 
 Writes JSONL records {step, loss, error_mm} to
-checkpoint/dexycb/KPFusion-resnet-18/runs/overfit_metrics.jsonl (committed
-as the reproducible evidence behind the README's training-sanity claim).
+artifacts/overfit_metrics.jsonl (committed as the reproducible evidence
+behind the README's training-sanity claim).
 The check: the last-stage mean joint error on the training batches must
 drop by >5x over the run — i.e. the full jitted train step (forward, loss
 assembly, backward, AdamW, BN updates) actually learns.
@@ -25,8 +25,7 @@ def main():
     ap.add_argument('--steps', type=int, default=300)
     ap.add_argument('--batches', type=int, default=4)
     ap.add_argument('--batch-size', type=int, default=32)
-    ap.add_argument('--out', default='checkpoint/dexycb/KPFusion-resnet-18/'
-                                     'runs/overfit_metrics.jsonl')
+    ap.add_argument('--out', default='artifacts/overfit_metrics.jsonl')
     args = ap.parse_args()
 
     import jax
