@@ -1,11 +1,27 @@
 """Throughput benchmark: batched KPFusion RGB-D inference, frames/sec/chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N, ...}
 Baseline north star: >= 3000 RGB-D frames/sec/chip at bs >= 64 on v5e
-(BASELINE.md). Runs in bfloat16 inference mode on the default device at
-bs=256 — the throughput-optimal point (bs=64 is partially launch-latency
-bound: 62k fps vs 242k at bs=256; both crush the 3k target).
+(BASELINE.md). Runs in bfloat16 inference mode on the default device.
+
+Methodology — defensible against runtimes that overlap, elide, or MEMOIZE
+dispatches (the 'axon' remote TPU platform returns cached results for a
+repeated call with identical executable+inputs, which made round-1's
+repeat-same-input loop report physically impossible numbers):
+  * the primary number times ONE execution of a precompiled ``lax.scan``
+    whose carry feeds a function of iteration k's OUTPUT into iteration
+    k+1's INPUT — the 30 iterations are data-dependent inside a single
+    dispatch, so they can neither overlap nor be served from cache;
+  * timing waits on a HOST FETCH of the final joints (jax.device_get),
+    not block_until_ready — on the axon tunnel block_until_ready returns
+    on dispatch acknowledgment (~0.8 ms RTT regardless of batch size),
+    which made round 1's numbers pure round-trip latency;
+  * the cross-check loop fetches per call over DISTINCT pre-staged inputs
+    (no two dispatches share an input buffer);
+  * FLOPs come from XLA's ``compiled.cost_analysis()`` on the single-batch
+    executable, and the implied MFU against the device's bf16 peak is in
+    the JSON so an impossible number is self-evident in the artifact.
 """
 
 import json
@@ -14,6 +30,115 @@ import time
 import numpy as np
 
 BASELINE_FPS = 3000.0
+ITERS = 30
+
+# bf16 dense peak FLOP/s by libtpu device_kind (public spec sheets).
+PEAK_BF16_FLOPS = {
+    'TPU v3': 123e12,
+    'TPU v4': 275e12,
+    'TPU v5 lite': 197e12,   # v5e
+    'TPU v5e': 197e12,
+    'TPU v5p': 459e12,
+    'TPU v5': 459e12,
+    'TPU v6 lite': 918e12,   # v6e / Trillium
+    'TPU v6e': 918e12,
+}
+
+
+def _peak_flops(device_kind: str):
+    # match the most specific key first
+    for key, peak in sorted(PEAK_BF16_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if device_kind.startswith(key):
+            return peak
+    return None
+
+
+def _flops_from_cost_analysis(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get('flops', 0.0)) if ca else 0.0
+
+
+def _build(batch_size, cfg):
+    import jax
+    import jax.numpy as jnp
+    from keypointfusion_tpu.data.synthetic import synthetic_batch
+    from keypointfusion_tpu.models.kpfusion import KPFusion
+    from keypointfusion_tpu.training.train_step import frame_from_batch
+
+    np_batch = synthetic_batch(batch_size=batch_size,
+                               point_num=cfg.point_num, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    frame = frame_from_batch(batch, cfg)
+    # serving mode: bf16 compute + approx_min_k neighbor selection
+    # (geometry/pcl.py — recall ~1.0 at this k/M, 7x faster than exact)
+    model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
+                     dtype=jnp.bfloat16, fast_topk=True)
+    # init must be jitted: eager flax init issues thousands of tiny
+    # dispatches, which takes minutes over a high-latency device link
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch['rgb'],
+                                    batch['depth'], batch['pcl'], frame)
+    return model, variables, batch, frame
+
+
+def _measure(batch_size, cfg):
+    """Returns (chained_fps, blocking_median_fps, flops_per_frame)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    model, variables, batch, frame = _build(batch_size, cfg)
+    rgb0, depth, pcl = batch['rgb'], batch['depth'], batch['pcl']
+
+    def single(variables, rgb, depth, pcl, frame):
+        results, _ = model.apply(variables, rgb, depth, pcl, frame)
+        return results[-1]
+
+    # FLOPs per batch from XLA's cost model on the actual executable.
+    compiled = (jax.jit(single)
+                .lower(variables, rgb0, depth, pcl, frame).compile())
+    flops_per_frame = _flops_from_cost_analysis(compiled) / batch_size
+
+    def chained(variables, rgb0, depth, pcl, frame):
+        def step(rgb, _):
+            out = single(variables, rgb, depth, pcl, frame)
+            # Data dependence: iteration k+1's input is a function of
+            # iteration k's output, so the iterations serialize inside
+            # one dispatch. The perturbation is numerically negligible
+            # but not removable at compile time (out is a runtime value).
+            rgb_next = rgb + out.sum().astype(rgb.dtype) * jnp.asarray(
+                1e-24, rgb.dtype)
+            return rgb_next, ()
+        final, _ = lax.scan(step, rgb0, None, length=ITERS)
+        # return the LAST iteration's joints: a small [B,J,3] tensor that
+        # depends on the entire chain; fetching it to host cannot complete
+        # before every iteration has executed
+        return single(variables, final, depth, pcl, frame)
+
+    chained_c = (jax.jit(chained)
+                 .lower(variables, rgb0, depth, pcl, frame).compile())
+
+    # Warm up on a DIFFERENT input so the timed call can't be memoized.
+    warm = rgb0 + jnp.asarray(7.0, rgb0.dtype)
+    jax.device_get(chained_c(variables, warm, depth, pcl, frame))
+
+    t0 = time.perf_counter()
+    jax.device_get(chained_c(variables, rgb0, depth, pcl, frame))
+    dt = time.perf_counter() - t0
+    chained_fps = batch_size * (ITERS + 1) / dt
+
+    # Cross-check: fetch per dispatch over distinct pre-staged inputs.
+    inputs = [jax.device_put(rgb0 + jnp.asarray(float(i + 1), rgb0.dtype))
+              for i in range(10)]
+    jax.device_get(compiled(variables, warm, depth, pcl, frame))
+    times = []
+    for x in inputs:
+        t0 = time.perf_counter()
+        jax.device_get(compiled(variables, x, depth, pcl, frame))
+        times.append(time.perf_counter() - t0)
+    blocking_fps = batch_size / float(np.median(times))
+    return chained_fps, blocking_fps, flops_per_frame
 
 
 def main():
@@ -21,48 +146,29 @@ def main():
     from keypointfusion_tpu.utils.compile_cache import \
         enable_compilation_cache
     enable_compilation_cache()
-    import jax.numpy as jnp
     from keypointfusion_tpu.config import Config
-    from keypointfusion_tpu.data.synthetic import synthetic_batch
-    from keypointfusion_tpu.models.kpfusion import KPFusion
-    from keypointfusion_tpu.training.train_step import frame_from_batch
 
-    batch_size = 256
     cfg = Config(compute_dtype='bfloat16')
-    np_batch = synthetic_batch(batch_size=batch_size,
-                               point_num=cfg.point_num, seed=0)
-    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
-    frame = frame_from_batch(batch, cfg)
+    device_kind = jax.devices()[0].device_kind
+    peak = _peak_flops(device_kind)
 
-    model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
-                     dtype=jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), batch['rgb'],
-                           batch['depth'], batch['pcl'], frame)
+    fps256, fps256_blocking, flops_frame = _measure(256, cfg)
+    fps64, fps64_blocking, _ = _measure(64, cfg)
 
-    @jax.jit
-    def forward(variables, rgb, depth, pcl, frame):
-        results, _ = model.apply(variables, rgb, depth, pcl, frame)
-        return results[-1]
-
-    args = (variables, batch['rgb'], batch['depth'], batch['pcl'], frame)
-    # compile + warmup
-    forward(*args)[0].block_until_ready()
-    for _ in range(3):
-        forward(*args).block_until_ready()
-
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(*args)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    fps = batch_size * iters / dt
-
+    mfu = (flops_frame * fps256 / peak) if peak else None
     print(json.dumps({
         "metric": "rgbd_frames_per_sec_per_chip_bs256",
-        "value": round(fps, 1),
+        "value": round(fps256, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps256 / BASELINE_FPS, 3),
+        "method": f"one dispatch of a {ITERS}-step data-dependent scan",
+        "device_kind": device_kind,
+        "flops_per_frame_gflop": round(flops_frame / 1e9, 3),
+        "implied_mfu": round(mfu, 4) if mfu is not None else None,
+        "peak_bf16_flops": peak,
+        "bs256_blocking_fps": round(fps256_blocking, 1),
+        "bs64_chained_fps": round(fps64, 1),
+        "bs64_blocking_fps": round(fps64_blocking, 1),
     }))
 
 

@@ -121,10 +121,13 @@ def desa_apply_inference(params: dict, batch_stats: dict,
     ...) as produced by model.init or the torch converter."""
     support_xyz = jnp.concatenate([pcl_xyz, node_xyz], axis=1)
     support_feat = jnp.concatenate([pcl_feat, node_feat], axis=1)
+    from keypointfusion_tpu.ops.pairwise import pairwise_sqdist
+    d2 = pairwise_sqdist(node_xyz, support_xyz)
 
     outs = []
     for i, (r, s) in enumerate(zip(radius, num_samples)):
-        idx, valid, rel = ball_query_group(support_xyz, node_xyz, r, s)
+        idx, valid, rel = ball_query_group(support_xyz, node_xyz, r, s,
+                                           d2=d2)
         grouped = group_features(support_feat, idx)
         wl, bl = fold_bn(params[f'conv_l0_{i}'], params[f'bn_l0_{i}'],
                          batch_stats[f'bn_l0_{i}'])

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from keypointfusion_tpu.models.norm import TorchBatchNorm
+
 from keypointfusion_tpu.geometry.camera import CropFrame
 from keypointfusion_tpu.geometry.pcl import img_to_anchor_dis
 from keypointfusion_tpu.ops.codecs import joint_to_heatmap, pcl_joint_to_offset
@@ -31,11 +33,26 @@ linear_init = nn.initializers.normal(stddev=0.001)
 def gather_pixel_features(feat_map, pcl_index, pcl_closeness):
     """feat_map [B,H,W,C], pcl_index [B,N,K] flat pixel ids,
     pcl_closeness [B,N,K] → weighted feature per point [B,N,C]
-    (reference model/model.py:297-301)."""
+    (reference model/model.py:297-301). Reference semantics; production
+    uses the dense-matmul form below (numerically identical, MXU-mapped —
+    see geometry.pcl.pcl_pixel_weights)."""
     b, h, w, c = feat_map.shape
     flat = feat_map.reshape(b, h * w, c)
     gathered = jax.vmap(lambda f, i: f[i])(flat, pcl_index)   # [B,N,K,C]
     return jnp.sum(gathered * pcl_closeness[..., None], axis=2)
+
+
+def gather_pixel_features_dense(feat_maps, pix_weights):
+    """One matmul for ALL per-pixel feature lookups of a block:
+    feat_maps [B,H,W,C_total] (channel-concat of the maps to sample),
+    pix_weights [B,N,HW] dense top-k closeness → [B,N,C_total].
+    HIGHEST precision keeps the f32 products bit-comparable to the
+    sparse gather-sum it replaces."""
+    b, h, w, c = feat_maps.shape
+    flat = feat_maps.reshape(b, h * w, c)
+    return jnp.einsum('bnm,bmc->bnc', pix_weights,
+                      flat.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class _EmbedBN(nn.Module):
@@ -48,7 +65,7 @@ class _EmbedBN(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.dim, kernel_init=linear_init, dtype=self.dtype,
                      name='dense')(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype, name='bn')(x)
 
 
@@ -56,10 +73,12 @@ class FusionBlock(nn.Module):
     joint_num: int = 21
     dim: int = 128
     dtype: Any = jnp.float32
+    use_pallas_desa: bool = False   # fused DESA kernel on the eval path
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, img_feat, img_feat_rgb, pcl, joint_xyz,
-                 pcl_closeness, pcl_index, weight_map,
+                 pix_weights, weight_map,
                  updated_2d_feature: Optional[jnp.ndarray],
                  frame: CropFrame, img_down, kernel: float = 0.8,
                  train: bool = False):
@@ -67,7 +86,8 @@ class FusionBlock(nn.Module):
 
         img_feat / img_feat_rgb: [B,H,W,C] backbone features (H=W=32).
         pcl [B,N,3]; joint_xyz [B,J,3] current joint estimate;
-        pcl_closeness/pcl_index [B,N,K]; weight_map [B,H,W,J] — the weight
+        pix_weights [B,N,HW] dense top-k pixel closeness
+        (geometry.pcl.pcl_pixel_weights); weight_map [B,H,W,J] — the weight
         channels of the (stop-gradient) depth dense prediction;
         updated_2d_feature [B,J,C] from the previous stage or None;
         img_down [B,H,W,1] nearest-downsampled depth.
@@ -82,11 +102,15 @@ class FusionBlock(nn.Module):
         # ---- RGB keypoint aggregation (model/model.py:294-320) ----
         pcl_offset_xyz = jax.lax.stop_gradient(
             pcl_joint_to_offset(joint_xyz, pcl, kernel))       # [B,N,4J]
-        pcl_feat = gather_pixel_features(img_feat, pcl_index, pcl_closeness)
-        pcl_feat_rgb = gather_pixel_features(img_feat_rgb, pcl_index,
-                                             pcl_closeness)
+        # all three pixel lookups of this block ride ONE MXU matmul
+        sampled = gather_pixel_features_dense(
+            jnp.concatenate([img_feat, img_feat_rgb,
+                             weight_map.astype(img_feat.dtype)], -1),
+            pix_weights)
+        pcl_feat = sampled[..., :c].astype(self.dtype)
+        pcl_feat_rgb = sampled[..., c:2 * c].astype(self.dtype)
         pcl_weight = jax.lax.stop_gradient(
-            gather_pixel_features(weight_map, pcl_index, pcl_closeness))
+            sampled[..., 2 * c:].astype(self.dtype))
 
         # decoupled feature / xyz / pose embeddings
         pose = jnp.concatenate([pcl_weight, pcl_offset_xyz], axis=-1)
@@ -110,7 +134,10 @@ class FusionBlock(nn.Module):
             + _EmbedBN(self.dim, self.dtype, name='joint_xyz_emb')(
                 joint_xyz_sg, train))
         joint_feat = DESA(self.dim, (128, 128), (64, 64, 64),
-                          (0.1, 0.2, 0.4), dtype=self.dtype, name='FA')(
+                          (0.1, 0.2, 0.4), dtype=self.dtype,
+                          use_pallas=self.use_pallas_desa,
+                          pallas_interpret=self.pallas_interpret,
+                          name='FA')(
             pcl_feat, joint_feat, pcl, joint_xyz_sg, train)
 
         # ---- intra-modal keypoint interaction (model/model.py:330) ----

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from keypointfusion_tpu.geometry.camera import CropFrame, uvd_nl_to_xyz_nl
-from keypointfusion_tpu.geometry.pcl import img_to_pcl_index
+from keypointfusion_tpu.geometry.pcl import (
+    img_to_pcl_index, pcl_pixel_weights,
+)
 from keypointfusion_tpu.ops.codecs import offset_to_joint_weight
 from keypointfusion_tpu.ops.resize import resize_nearest_torch
 from keypointfusion_tpu.models.unet import ResNetUNet
@@ -49,6 +51,11 @@ class KPFusion(nn.Module):
     dim: int = 128
     dtype: Any = jnp.float32
     backbone_dtype: Any = None
+    use_pallas_desa: bool = False   # fused DESA kernel on the eval path
+    pallas_interpret: bool = False
+    # approx_min_k neighbor selection (see geometry.pcl.img_to_pcl_index);
+    # default off so parity runs are exact — serving/bench enable it
+    fast_topk: bool = False
 
     @nn.compact
     def __call__(self, rgb, depth, pcl, frame: CropFrame,
@@ -82,8 +89,12 @@ class KPFusion(nn.Module):
 
         img_down = resize_nearest_torch(depth, h)
         joint_xyz = uvd_nl_to_xyz_nl(joint_uvd, frame)
-        pcl_closeness, pcl_index = img_to_pcl_index(pcl, img_down, frame,
-                                                    select_num=4)
+        pcl_closeness, pcl_index = img_to_pcl_index(
+            pcl, img_down, frame, select_num=4,
+            exact=not self.fast_topk)
+        # densify once: every per-pixel lookup in both blocks becomes an
+        # MXU matmul (geometry.pcl.pcl_pixel_weights)
+        pix_weights = pcl_pixel_weights(pcl_closeness, pcl_index, h * h)
 
         results = [img_offset, img_offset_rgb]
         spatial_weights = []
@@ -91,9 +102,11 @@ class KPFusion(nn.Module):
         for i in range(self.num_stages):
             refined_3d, refined_2d, updated_2d_feature, sw = FusionBlock(
                 joint_num=j, dim=self.dim, dtype=self.dtype,
+                use_pallas_desa=self.use_pallas_desa,
+                pallas_interpret=self.pallas_interpret,
                 name=f'block{i + 1}')(
-                img_feat, img_feat_rgb, pcl, joint_xyz, pcl_closeness,
-                pcl_index, weight_map, updated_2d_feature, frame, img_down,
+                img_feat, img_feat_rgb, pcl, joint_xyz, pix_weights,
+                weight_map, updated_2d_feature, frame, img_down,
                 kernel, train)
             results.append(refined_3d)
             results.append(refined_2d)

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from keypointfusion_tpu.ops.pairwise import pairwise_sqdist
 
 
-def ball_query_group(pcl_xyz, query_xyz, radius: float, num_samples: int):
+def ball_query_group(pcl_xyz, query_xyz, radius: float, num_samples: int,
+                     d2=None):
     """For each query point, gather up to `num_samples` in-radius neighbors.
 
     Args:
@@ -35,6 +36,8 @@ def ball_query_group(pcl_xyz, query_xyz, radius: float, num_samples: int):
       query_xyz: [B, J, 3] query points.
       radius: ball radius (normalized-xyz units).
       num_samples: S, static group size.
+      d2: optional precomputed [B, J, M] squared distances (hoisted across
+        the multi-scale calls in DESA — the support/query sets are shared).
 
     Returns:
       idx: [B, J, S] int32 indices into the support set.
@@ -44,7 +47,8 @@ def ball_query_group(pcl_xyz, query_xyz, radius: float, num_samples: int):
         (matches QueryAndGroup's grouped_xyz -= query behavior).
     """
     b, m, _ = pcl_xyz.shape
-    d2 = pairwise_sqdist(query_xyz, pcl_xyz)
+    if d2 is None:
+        d2 = pairwise_sqdist(query_xyz, pcl_xyz)
     in_ball = d2 < (radius * radius)
 
     # first-S-in-storage-order selection: rank in-ball points by index,

@@ -29,12 +29,18 @@ class StreamingEngine:
 
     def __init__(self, cfg: Config, variables: Optional[dict] = None,
                  batch_size: int = 64, img_hw=(480, 640),
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, use_pallas_desa: bool = False,
+                 pallas_interpret: bool = False):
+        """use_pallas_desa routes the eval-path DESA through the fused
+        Pallas kernel (kernels/desa_pallas.py) instead of the XLA
+        composition — numerically equal (tested), opt-in because at these
+        sizes XLA is already competitive (see docs/DESIGN.md)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.img_hw = img_hw
         self.model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
-                              dtype=dtype)
+                              dtype=dtype, use_pallas_desa=use_pallas_desa,
+                              pallas_interpret=pallas_interpret)
 
         if variables is None:
             from keypointfusion_tpu.data.synthetic import synthetic_batch

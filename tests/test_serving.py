@@ -32,3 +32,30 @@ def test_streaming_engine_contract():
         assert o['joint_xyz_mm'].shape == (bs, 21, 3)
         assert o['joint_uvd'].shape == (bs, 21, 3)
         assert np.isfinite(o['joint_xyz_mm']).all()
+
+
+def test_kpfusion_pallas_desa_path_matches_xla():
+    """The use_pallas_desa eval path must match the XLA module path on the
+    full model (interpret mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from keypointfusion_tpu.data.synthetic import synthetic_batch
+    from keypointfusion_tpu.models.kpfusion import KPFusion
+    from keypointfusion_tpu.training.train_step import frame_from_batch
+
+    cfg = Config(point_num=128)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        batch_size=2, point_num=128, seed=0).items()}
+    frame = frame_from_batch(batch, cfg)
+    base = KPFusion(joint_num=21)
+    variables = base.init(jax.random.PRNGKey(0), batch['rgb'],
+                          batch['depth'], batch['pcl'], frame)
+    pallas = KPFusion(joint_num=21, use_pallas_desa=True,
+                      pallas_interpret=True)
+    want, _ = base.apply(variables, batch['rgb'], batch['depth'],
+                         batch['pcl'], frame)
+    got, _ = pallas.apply(variables, batch['rgb'], batch['depth'],
+                          batch['pcl'], frame)
+    for i, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, err_msg=f'result_{i}')
