@@ -77,6 +77,25 @@ def install_functional_stubs():
         if not callable(getattr(tvm, name, None)):
             setattr(tvm, name, lambda *a, **k: _Empty())
     tvt.ToTensor = _to_tensor_factory(torch)
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean.to(x.dtype)) / self.std.to(x.dtype)
+    tvt.Compose = Compose
+    tvt.Normalize = Normalize
     tv.models = tvm
     tv.transforms = tvt
     sys.modules['torchvision'] = tv
@@ -112,6 +131,50 @@ def install_functional_stubs():
         m.pointnet2_utils = mu
         sys.modules['pointnet2_ops'] = m
         sys.modules['pointnet2_ops.pointnet2_utils'] = mu
+
+
+def patch_numpy2_depth_decoders():
+    """The reference decodes 16-bit depth as `uint8 + uint8 * 256`, which
+    overflows under numpy>=2's strict NEP-50 casting (it relied on numpy 1
+    promoting to int64). Patch in equivalent int-math versions so the
+    reference classes still work as oracles."""
+    import cv2
+    loader_mod = import_reference_module('dataloader.loader')
+    pre_mod = import_reference_module('dataloader.preprocess')
+
+    def ho3d_read_depth_img(self, depth_filename):
+        depth_scale = 0.00012498664727900177
+        depth_img = cv2.imread(depth_filename)
+        dpt = (depth_img[:, :, 2].astype(np.int64)
+               + depth_img[:, :, 1].astype(np.int64) * 256)
+        return dpt * depth_scale * 1000
+
+    def nyu_reader(img_path):
+        img = cv2.imread(img_path)
+        return np.asarray(img[:, :, 0].astype(np.int64)
+                          + img[:, :, 1].astype(np.int64) * 256, np.float32)
+
+    def stb_read_depth_img(depth_filename):
+        depth_img = cv2.imread(depth_filename)
+        dpt = (depth_img[:, :, 2].astype(np.int64)
+               + depth_img[:, :, 1].astype(np.int64) * 256)
+        return dpt.astype(np.float32)
+
+    loader_mod.HO3D.read_depth_img = ho3d_read_depth_img
+    loader_mod.nyu_reader = nyu_reader
+    # nyu_loader takes the reader as a default arg — rebind it
+    import inspect
+    defaults = list(loader_mod.nyu_loader.__init__.__defaults__)
+    params = list(inspect.signature(
+        loader_mod.nyu_loader.__init__).parameters)[1:]
+    for i, p in enumerate(params[-len(defaults):]):
+        if p == 'loader':
+            defaults[i] = nyu_reader
+    loader_mod.nyu_loader.__init__.__defaults__ = tuple(defaults)
+    pre_mod.read_depth_img = stb_read_depth_img
+    stb_mod = import_reference_module('dataloader.dataset_STB')
+    stb_mod.read_depth_img = stb_read_depth_img
+    return loader_mod
 
 
 def import_reference_module(name):
