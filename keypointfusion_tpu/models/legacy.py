@@ -13,6 +13,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+from keypointfusion_tpu.models.norm import TorchBatchNorm
+
 from keypointfusion_tpu.models.resnet import ResNet, conv_init
 from keypointfusion_tpu.models.unet import Residual
 
@@ -38,7 +40,7 @@ class ConvBNRelu(nn.Module):
                     padding=(self.kernel - 1) // 2, use_bias=True,
                     kernel_init=conv_init, dtype=self.dtype, name='conv')(x)
         if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype, name='bn')(x)
         if self.relu:
             x = nn.relu(x)
@@ -146,7 +148,7 @@ class SpatialGate(nn.Module):
                                   jnp.mean(x, -1, keepdims=True)], -1)
         s = nn.Conv(1, (7, 7), padding=3, use_bias=False,
                     dtype=self.dtype, name='spatial_conv')(pooled)
-        s = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        s = TorchBatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-5, dtype=self.dtype, name='spatial_bn')(s)
         scale = nn.sigmoid(s)
         return x * scale, x * (1 - scale)

@@ -14,6 +14,8 @@ from typing import Any, Callable, Sequence, Type
 import jax.numpy as jnp
 import flax.linen as nn
 
+from keypointfusion_tpu.models.norm import TorchBatchNorm
+
 # conv init matching the reference: normal(0, sqrt(2/fan_out))
 conv_init = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
 
@@ -32,7 +34,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+        norm = lambda name: TorchBatchNorm(use_running_average=not train,
                                          momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, name=name)
         residual = x
@@ -61,7 +63,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+        norm = lambda name: TorchBatchNorm(use_running_average=not train,
                                          momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, name=name)
         out_planes = self.planes * self.expansion
@@ -101,7 +103,7 @@ class ResNet(nn.Module):
 
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype, name='conv1')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
         c0 = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))

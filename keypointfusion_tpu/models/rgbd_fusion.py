@@ -17,6 +17,8 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from keypointfusion_tpu.models.norm import TorchBatchNorm
+
 from keypointfusion_tpu.models.resnet import conv_init, STAGES
 from keypointfusion_tpu.models.unet import Residual, final_init
 from keypointfusion_tpu.ops.resize import upsample_bilinear_x2
@@ -99,7 +101,7 @@ class RGBDBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, streams, train: bool = False):
         x1, x2 = streams
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+        norm = lambda name: TorchBatchNorm(use_running_average=not train,
                                          momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, name=name)
         need_ds = self.stride != 1 or x1.shape[-1] != self.planes
@@ -133,7 +135,7 @@ class RGBDResNet(nn.Module):
     @nn.compact
     def __call__(self, rgb, depth_img, train: bool = False):
         _, sizes = STAGES[self.depth]
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+        norm = lambda name: TorchBatchNorm(use_running_average=not train,
                                          momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, name=name)
         streams = []

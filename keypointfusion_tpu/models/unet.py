@@ -15,6 +15,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+from keypointfusion_tpu.models.norm import TorchBatchNorm
+
 from keypointfusion_tpu.models.resnet import ResNet, conv_init
 from keypointfusion_tpu.ops.resize import upsample_bilinear_x2
 
@@ -30,7 +32,7 @@ class Residual(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+        norm = lambda name: TorchBatchNorm(use_running_average=not train,
                                          momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, name=name)
         half = self.out_dim // 2
