@@ -90,6 +90,9 @@ class Config:
     mesh_axis: str = 'data'            # 1-D data-parallel mesh axis name
     sync_batchnorm: bool = True        # pjit global-batch BN stats (see parallel/)
     seed: int = 23455                  # reference loader RNG seed (loader.py:208)
+    # approx_min_k pcl->pixel neighbor selection (geometry/pcl.py) — 7x
+    # faster on TPU, measured recall 1.0; keep False for exact-parity eval
+    fast_topk: bool = False
 
     @property
     def joint_num(self) -> int:

@@ -220,17 +220,29 @@ def joint_to_feature(joint, depth, feature_paras, feature_size,
     return jnp.concatenate(feats, axis=-1)
 
 
-def feature_to_joint(depth, pixel_pd, feature_types, feature_paras):
-    """Prediction decode dispatch (generateFeature.py:434-462)."""
+def feature_to_joint(depth, pixel_pd, feature_types, feature_paras,
+                     joint_num=None):
+    """Prediction decode dispatch (generateFeature.py:434-462).
+
+    joint_num slices the dense map to the channels the decode consumes —
+    the KPFusion backbone always emits 5J channels (3J offsets + J heatmap
+    + J weight), but e.g. the 'offset' decode reads 4J. (The reference
+    crashes here: offset2joint_softmax infers joint_num = 5J//4
+    from the full map, generateFeature.py:119-120.)"""
     ftype = feature_types[0]
     para = feature_paras[0]
+    j = joint_num
     if ftype == 'weight_offset':
         return offset_to_joint_weight(pixel_pd, depth, para)
     if ftype == 'weight_offset_nosoftmax':
         return offset_to_joint_weight_nosoftmax(pixel_pd, depth, para)
     if ftype == 'offset':
+        if j is not None:
+            pixel_pd = pixel_pd[..., :4 * j]
         return offset_to_joint_softmax(pixel_pd, depth, para)
     if ftype == 'heatmap':
+        if j is not None:
+            pixel_pd = pixel_pd[..., :j]
         uv = heatmap_to_joint_softmax(pixel_pd)
         return jnp.concatenate(
             [uv, jnp.zeros(uv.shape[:2] + (1,), uv.dtype)], -1)

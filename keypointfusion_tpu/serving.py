@@ -40,7 +40,8 @@ class StreamingEngine:
         self.img_hw = img_hw
         self.model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
                               dtype=dtype, use_pallas_desa=use_pallas_desa,
-                              pallas_interpret=pallas_interpret)
+                              pallas_interpret=pallas_interpret,
+                              fast_topk=cfg.fast_topk)
 
         if variables is None:
             from keypointfusion_tpu.data.synthetic import synthetic_batch

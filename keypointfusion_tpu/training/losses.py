@@ -17,10 +17,24 @@ import jax.numpy as jnp
 
 from keypointfusion_tpu.config import Config
 from keypointfusion_tpu.geometry.camera import CropFrame
-from keypointfusion_tpu.ops.codecs import (
-    joint_to_offset, offset_to_joint_weight, joint_to_heatmap,
+from keypointfusion_tpu.ops.codecs import joint_to_heatmap
+from keypointfusion_tpu.ops.codecs_extra import (
+    feature_to_joint, joint_to_feature,
 )
 from keypointfusion_tpu.ops.loss import smooth_l1_loss
+
+
+def elementwise_loss(cfg: Config):
+    """loss_type dispatch (config.py:63; reference config.py:56). The
+    reference always binds SmoothL1 in its loop (train.py:93,220-240) —
+    'Mse' is honored here as torch MSELoss; 'GHM' has no implementation
+    anywhere in the reference and is rejected explicitly."""
+    if cfg.loss_type == 'L1Loss':
+        return smooth_l1_loss
+    if cfg.loss_type == 'Mse':
+        return lambda pred, gt: jnp.mean((pred - gt) ** 2)
+    raise NotImplementedError(
+        f"loss_type={cfg.loss_type!r} (the reference defines no GHM loss)")
 
 
 def compute_losses(results: Sequence[jnp.ndarray],
@@ -32,28 +46,37 @@ def compute_losses(results: Sequence[jnp.ndarray],
                    cfg: Config,
                    epoch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     kernel = cfg.feature_para[0]
-    j = uvd_gt.shape[1]
     total = 0.0
     metrics: Dict[str, jnp.ndarray] = {}
     feature_size = results[0].shape[1]
+    loss_fn = elementwise_loss(cfg)
 
     pixel_gt = None
     for index, stage in enumerate(cfg.stage_type):
         if stage == 1:
             pixel_pd = results[index]                       # [B,fs,fs,5J]
             if pixel_gt is None:
-                pixel_gt = joint_to_offset(uvd_gt, depth, kernel,
-                                           feature_size)    # [B,fs,fs,4J]
-            joint_uvd = offset_to_joint_weight(pixel_pd, depth, kernel)
-            loss_pixel = smooth_l1_loss(
-                pixel_pd[..., :4 * j], pixel_gt) * cfg.deconv_weight
-            loss_coord = smooth_l1_loss(joint_uvd, uvd_gt) * cfg.coord_weight
+                # feature_type dispatch (reference train.py:216-219 →
+                # GFM.joint2feature/feature2joint, generateFeature.py:
+                # 398-462); default ('weight_offset',) encodes the 4J
+                # offset+heatmap map
+                pixel_gt = joint_to_feature(uvd_gt, depth, cfg.feature_para,
+                                            feature_size, cfg.feature_type)
+            joint_uvd = feature_to_joint(depth, pixel_pd, cfg.feature_type,
+                                         cfg.feature_para,
+                                         joint_num=uvd_gt.shape[1])
+            # reference slices the prediction to the GT's channel count
+            # (train.py:220: pixel_pd[:, :pixel_gt.size(1)])
+            loss_pixel = loss_fn(
+                pixel_pd[..., :pixel_gt.shape[-1]],
+                pixel_gt) * cfg.deconv_weight
+            loss_coord = loss_fn(joint_uvd, uvd_gt) * cfg.coord_weight
             total = total + loss_pixel + loss_coord
             metrics[f'loss_pixel_{index}'] = loss_pixel
             metrics[f'loss_coord_{index}'] = loss_coord
         else:  # stage 2/3: KFAM xyz refinement
             joint_xyz = results[index]
-            loss_coord = smooth_l1_loss(joint_xyz, xyz_gt) * cfg.coord_weight
+            loss_coord = loss_fn(joint_xyz, xyz_gt) * cfg.coord_weight
             total = total + loss_coord
             metrics[f'loss_coord_{index}'] = loss_coord
 

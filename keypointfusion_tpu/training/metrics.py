@@ -75,8 +75,11 @@ def pck_curve(errors_mm: np.ndarray, val_min=0.0, val_max=50.0, steps=20):
 
 
 def auc_subset(curve: np.ndarray, thresholds: np.ndarray,
-               start_idx: int = 8):
-    """AUC of the 20–50 mm tail (reference eval_utils.py:21-23)."""
+               min_mm: float = 20.0):
+    """AUC of the 20–50 mm tail (reference eval_utils.py:21-23). The start
+    index is derived from the threshold grid rather than hardcoded (the
+    reference's index 8 assumes exactly 20 thresholds over 0–50 mm)."""
+    start_idx = int(np.searchsorted(thresholds, min_mm))
     x = thresholds[start_idx:]
     y = curve[start_idx:]
     return float(np.trapezoid(y, x) / np.trapezoid(np.ones_like(y), x))

@@ -29,13 +29,31 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    model: KPFusion = struct.field(pytree_node=False)
+    # dynamic LR multiplier for scheduler='auto' (plateau decay, driven by
+    # the Trainer after each epoch's test). For adamw/adam/sgd the optax
+    # update is linear in lr, so scaling the final update is exactly
+    # equivalent to scaling the schedule.
+    lr_scale: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.ones((), jnp.float32))
+    tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                    default=None)
+    model: KPFusion = struct.field(pytree_node=False, default=None)
 
 
 def make_lr_schedule(cfg: Config, steps_per_epoch: int):
-    """StepLR(step_size epochs, gamma) on top of the base lr
-    (reference train.py:120, config.py:62-64)."""
+    """scheduler dispatch (config.py:69; reference config.py:64,
+    train.py:120,295-301):
+      'step'     — StepLR(step_size epochs, gamma) staircase;
+      'constant' — flat lr (reference: scheduler never stepped);
+      'auto'     — flat schedule here; the Trainer applies plateau decay
+                   through TrainState.lr_scale. (The reference's 'auto'
+                   branch calls StepLR.step(test_error) — passing the mm
+                   error as an epoch number, which is a bug; we implement
+                   the evident reduce-on-plateau intent instead.)
+    """
+    if cfg.scheduler in ('constant', 'auto'):
+        return lambda step: cfg.lr
+
     def schedule(step):
         epoch = step // max(steps_per_epoch, 1)
         return cfg.lr * (cfg.step_gamma ** (epoch // cfg.step_size))
@@ -64,7 +82,8 @@ def create_train_state(cfg: Config, rng, sample_batch,
         dtype = jnp.dtype(cfg.compute_dtype)
         backbone_dtype = None
     model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
-                     dtype=dtype, backbone_dtype=backbone_dtype)
+                     dtype=dtype, backbone_dtype=backbone_dtype,
+                     fast_topk=cfg.fast_topk)
     frame = frame_from_batch(sample_batch, cfg)
     variables = model.init(rng, sample_batch['rgb'], sample_batch['depth'],
                            sample_batch['pcl'], frame)
@@ -114,6 +133,8 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
             state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale,
+                                         updates)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
@@ -172,6 +193,8 @@ def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
         metrics = jax.lax.pmean(metrics, axis)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale,
+                                         updates)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)

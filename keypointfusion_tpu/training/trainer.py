@@ -28,7 +28,7 @@ import numpy as np
 from keypointfusion_tpu.config import Config
 from keypointfusion_tpu.data.pipeline import BatchLoader, device_prefetch
 from keypointfusion_tpu.geometry.camera import uvd_nl_to_xyz_nl
-from keypointfusion_tpu.ops.codecs import offset_to_joint_weight
+from keypointfusion_tpu.ops.codecs_extra import feature_to_joint
 from keypointfusion_tpu.parallel.mesh import (
     auto_mesh, batch_sharding, replicated_sharding,
 )
@@ -151,10 +151,18 @@ class Trainer:
             else:
                 self.state = self.ckpt.restore_weights(cfg.load_model,
                                                        self.state)
+        if cfg.finetune_dir:
+            # fine-tune warm start: same filtered merge as load_model
+            # (reference train.py:109-117 duplicates the load_model block)
+            self.state = self._load_torch_checkpoint(cfg.finetune_dir) \
+                if cfg.finetune_dir.endswith('.pth') \
+                else self.ckpt.restore_weights(cfg.finetune_dir, self.state)
         self.train_step = make_train_step(cfg, self.mesh)
         self.eval_step = make_eval_step(cfg, self.mesh)
         self.min_error = float('inf')
         self.start_epoch = 0
+        self.plateau_patience = 3   # scheduler='auto' epochs w/o improvement
+        self._plateau = 0
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
         if cfg.resume:
             self.resume('latest')
@@ -168,14 +176,23 @@ class Trainer:
         logging.info('resumed from %s at epoch %d', name, epoch)
 
     def _load_torch_checkpoint(self, path: str):
-        """Warm-start from a released reference .pth
-        (reference train.py:100-117's partial merge, via the converter)."""
+        """Warm-start from a released reference .pth via the converter,
+        with the reference's filtered-merge semantics (train.py:100-117:
+        only keys present in the current model — here: present AND
+        shape-matching — are taken; the rest keep their init values)."""
         from keypointfusion_tpu.utils.torch_convert import (
-            load_torch_checkpoint_variables)
+            load_torch_checkpoint_variables, merge_partial)
         converted = load_torch_checkpoint_variables(path, self.cfg.net)
-        converted = jax.tree_util.tree_map(jnp.asarray, converted)
-        return self.state.replace(params=converted['params'],
-                                  batch_stats=converted['batch_stats'])
+        init = {'params': self.state.params,
+                'batch_stats': self.state.batch_stats}
+        merged, used, skipped = merge_partial(init, converted)
+        merged = jax.tree_util.tree_map(jnp.asarray, merged)
+        logging.info('warm start from %s: %d tensors merged, %d skipped',
+                     path, len(used), len(skipped))
+        if skipped:
+            logging.info('skipped (shape mismatch): %s', skipped[:8])
+        return self.state.replace(params=merged['params'],
+                                  batch_stats=merged['batch_stats'])
 
     def _sample_batch(self):
         from keypointfusion_tpu.data.synthetic import synthetic_batch
@@ -222,7 +239,21 @@ class Trainer:
                 test_error = float('inf')
             if test_error <= self.min_error:
                 self.min_error = test_error
+                self._plateau = 0
                 self.ckpt.save('best', self.state, epoch)
+            elif cfg.scheduler == 'auto':
+                # reduce-on-plateau: decay after `plateau_patience` epochs
+                # without improvement (the intent behind the reference's
+                # 'auto' branch, train.py:295-296 — which mistakenly feeds
+                # the mm error to StepLR.step as an epoch index)
+                self._plateau += 1
+                if self._plateau >= self.plateau_patience:
+                    self._plateau = 0
+                    new_scale = (float(jax.device_get(self.state.lr_scale))
+                                 * cfg.step_gamma)
+                    self.state = self.state.replace(
+                        lr_scale=jnp.asarray(new_scale, jnp.float32))
+                    logging.info('plateau: lr_scale -> %.3e', new_scale)
             self.ckpt.save('latest', self.state, epoch)
             logging.info('epoch %d done, test_error %.4f', epoch,
                          test_error)
@@ -231,10 +262,15 @@ class Trainer:
     # -------------------------------------------------------------- eval --
 
     def _decode_stage(self, results, batch, frame, index, stage):
-        kernel = self.cfg.feature_para[0]
+        """Per-stage decode, through the feature_type dispatch for dense
+        stages (reference train.py:336-342 → GFM.feature2joint)."""
+        if stage == 0:   # raw uvd output stage (reference train.py:331-335)
+            return uvd_nl_to_xyz_nl(results[index], frame)
         if stage == 1:
-            joint_uvd = offset_to_joint_weight(results[index],
-                                               batch['depth'], kernel)
+            joint_uvd = feature_to_joint(batch['depth'], results[index],
+                                         self.cfg.feature_type,
+                                         self.cfg.feature_para,
+                                         joint_num=self.cfg.joint_num)
             return uvd_nl_to_xyz_nl(joint_uvd, frame)
         return results[index]
 
@@ -266,29 +302,51 @@ class Trainer:
         pa_sum = np.zeros(n_stage)
         nb = 0
         first_last_errors = [[], []]
-        for raw in loader:
-            batch, n_real = self._pad_batch(raw, cfg.batch_size)
-            if sharding is not None:
-                batch = {k: jax.device_put(np.asarray(v), sharding)
-                         for k, v in batch.items()}
-            results, _ = self.eval_step(self.state, batch)
-            frame = frame_from_batch(batch, cfg)
-            for index, stage in enumerate(cfg.stage_type):
-                joint_xyz = self._decode_stage(results, batch, frame,
-                                               index, stage)
-                err = xyz_to_error_mm(joint_xyz, batch['xyz_gt'],
-                                      batch['center'], batch['cube'])
-                pa = pa_error_mm(joint_xyz, batch['xyz_gt'],
-                                 batch['center'], batch['cube'])
-                err = np.asarray(err)[:n_real]
-                pa = np.asarray(pa)[:n_real]
-                err_sum[index] += float(np.mean(err))
-                pa_sum[index] += float(np.mean(pa))
-                if index == 0:
-                    first_last_errors[0].append(err)
-                if index == n_stage - 1:
-                    first_last_errors[1].append(err)
-            nb += 1
+        # per-stage result dumps + sample id file (reference train.py:
+        # 308-310 opens test_%d.txt/id.txt; its writer arg is dead code so
+        # the files stay empty there — here each line is the sample's
+        # predicted world-mm joints, flattened)
+        result_files = [open(osp.join(self.model_dir, f'test_{i}.txt'), 'w')
+                        for i in range(n_stage)]
+        id_file = open(osp.join(self.model_dir, 'id.txt'), 'w')
+        sample_id = 0
+        try:
+            for raw in loader:
+                batch, n_real = self._pad_batch(raw, cfg.batch_size)
+                if sharding is not None:
+                    batch = {k: jax.device_put(np.asarray(v), sharding)
+                             for k, v in batch.items()}
+                results, _ = self.eval_step(self.state, batch)
+                frame = frame_from_batch(batch, cfg)
+                for index, stage in enumerate(cfg.stage_type):
+                    joint_xyz = self._decode_stage(results, batch, frame,
+                                                   index, stage)
+                    err = xyz_to_error_mm(joint_xyz, batch['xyz_gt'],
+                                          batch['center'], batch['cube'])
+                    pa = pa_error_mm(joint_xyz, batch['xyz_gt'],
+                                     batch['center'], batch['cube'])
+                    err = np.asarray(err)[:n_real]
+                    pa = np.asarray(pa)[:n_real]
+                    err_sum[index] += float(np.mean(err))
+                    pa_sum[index] += float(np.mean(pa))
+                    if index == 0:
+                        first_last_errors[0].append(err)
+                    if index == n_stage - 1:
+                        first_last_errors[1].append(err)
+                    world = (np.asarray(joint_xyz)[:n_real]
+                             * np.asarray(batch['cube'])[:n_real, None] / 2
+                             + np.asarray(batch['center'])[:n_real, None])
+                    for row in world.reshape(n_real, -1):
+                        result_files[index].write(
+                            ' '.join(f'{v:.3f}' for v in row) + '\n')
+                for i in range(n_real):
+                    id_file.write(f'{sample_id + i}\n')
+                sample_id += n_real
+                nb += 1
+        finally:
+            for f in result_files:
+                f.close()
+            id_file.close()
         if nb == 0:
             return float('inf')
 
@@ -320,9 +378,29 @@ class Trainer:
         loader = BatchLoader(data, cfg.batch_size, shuffle=False,
                              num_workers=8, drop_last=False)
         joint_list, mesh_list = [], []
-        for batch in device_prefetch(loader):
+        for ii, batch in enumerate(device_prefetch(loader)):
             results, _ = self.eval_step(self.state, batch)
             joint_xyz = results[-1]
+            if self.logger.tb is not None:
+                # eval-image logging (reference train.py:451-457):
+                # skeleton overlays on the first sample of each batch
+                from keypointfusion_tpu.geometry.camera import \
+                    xyz_nl_to_uvd_nl
+                from keypointfusion_tpu.utils.vis import (
+                    draw_2d_pose, draw_2d_pose_rgb)
+                frame = frame_from_batch(batch, cfg)
+                uvd = np.asarray(xyz_nl_to_uvd_nl(joint_xyz, frame))
+                depth0 = np.asarray(batch['depth'][0])
+                rgb0 = np.asarray(batch['rgb'][0])
+                img_show = draw_2d_pose(depth0, uvd[0], cfg.dataset)
+                self.logger.tb.add_image(
+                    'eval_img', np.transpose(img_show, (2, 0, 1)) / 255.0,
+                    global_step=ii)
+                rgb_show = draw_2d_pose_rgb(rgb0, uvd[0], cfg.dataset)
+                self.logger.tb.add_image(
+                    'eval_img_rgb',
+                    np.transpose(rgb_show[..., ::-1], (2, 0, 1)) / 255.0,
+                    global_step=ii)
             world = (joint_xyz * batch['cube'][:, None] / 2
                      + batch['center'][:, None])
             world = np.asarray(world)[:, MANO2HO3D, :]
