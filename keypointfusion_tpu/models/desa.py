@@ -1,24 +1,70 @@
 """DESA — multi-scale local point-feature aggregation around each joint.
 
-Rebuilds reference model/model.py:129-204 TPU-natively: the CUDA
-QueryAndGroup kernels become one pairwise-distance matmul + top-k + gathers
-(ops/ball_query.py), the per-group 1x1 Conv2d+BN stacks become Dense+BN over
-the group axis, and the group max-pool is masked by ball-query validity
-(exact under max-pooling, see ops/ball_query.py docstring).
+Rebuilds reference model/model.py:129-204 TPU-natively. Two formulations,
+numerically consistent:
+
+* gather (reference-shaped): pairwise-distance matmul + top-k + gathers
+  (ops/ball_query.py), per-group 1x1 Conv2d+BN stacks as Dense+BN over the
+  group axis, masked max over ball-query validity.
+* dense (default): TPUs have no fast gather, so selection becomes a
+  cumsum-rank mask and the per-group MLPs run densely over all support
+  points — the Dense layers are linear, so the per-pair inputs split into
+  precomputable per-point terms (Dense((a−b)/r) = (Dense(a)−Dense(b))/r +
+  Dense(0)). The masked max is over exactly the same first-S-in-ball set.
+  In training, BatchNorm statistics are computed over the same multiset the
+  gather path's [B,J,S,C] tensor holds (first-S in-ball + out-of-ball fill
+  slots, empty-ball slot 0 replaced by the closest point) via per-point
+  slot multiplicities (WeightedTorchBatchNorm) — every group contributes
+  exactly S weight, so stats match the gather path.
 """
 
 from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from keypointfusion_tpu.models.norm import TorchBatchNorm
+from keypointfusion_tpu.models.norm import WeightedTorchBatchNorm
 
 from keypointfusion_tpu.ops.ball_query import ball_query_group, group_features
 from keypointfusion_tpu.ops.pairwise import pairwise_sqdist
 from keypointfusion_tpu.models.resnet import conv_init
+
+
+def dense_group_masks(d2, radius: float, s: int):
+    """Dense-formulation selection for one scale.
+
+    d2 [B,J,M] squared distances. Returns (mask_max [B,J,M] bool — the
+    first-S-in-ball points (or the closest point for empty balls) that feed
+    the max-pool; weights [B,J,M] f32 — the slot multiplicity of every
+    support point in the gather path's [B,J,S] group, summing to exactly S
+    per (b,j), for BatchNorm statistics parity)."""
+    in_ball = d2 < (radius * radius)                       # [B,J,M]
+    ib = in_ball.astype(jnp.int32)
+    rank_in = jnp.cumsum(ib, -1) - ib                      # exclusive
+    sel_in = in_ball & (rank_in < s)
+    k_total = jnp.sum(ib, -1, keepdims=True)
+    # out-of-ball fill slots: the gather path's top-k key ordering fills
+    # the remaining S-k slots with the first out-of-ball points in storage
+    # order (ops/ball_query.py)
+    out = ~in_ball
+    ob = out.astype(jnp.int32)
+    rank_out = jnp.cumsum(ob, -1) - ob
+    n_fill = s - jnp.minimum(k_total, s)
+    sel_fill = out & (rank_out < n_fill)
+    w = sel_in.astype(jnp.float32) + sel_fill.astype(jnp.float32)
+
+    # empty ball: slot 0 (the first fill) is replaced by the closest point
+    empty = (k_total == 0)
+    closest_oh = jax.nn.one_hot(jnp.argmin(d2, -1), d2.shape[-1],
+                                dtype=jnp.float32)
+    first_fill = (out & (rank_out == 0)).astype(jnp.float32)
+    emptyf = empty.astype(jnp.float32)
+    w = w - emptyf * first_fill + emptyf * closest_oh
+    mask_max = sel_in | (empty & (closest_oh > 0))
+    return mask_max, jax.lax.stop_gradient(w)
 
 
 class DESA(nn.Module):
@@ -32,12 +78,13 @@ class DESA(nn.Module):
     # Only taken in eval (training needs live batch statistics).
     use_pallas: bool = False
     pallas_interpret: bool = False   # interpret mode for CPU tests
-    # dense eval path: no top_k, no gathers — selection becomes a cumsum
-    # rank mask and the per-group MLPs run densely over all support points
-    # (the Dense layers are linear, so grouped-input differences split into
-    # precomputable per-point terms). Exactly the same first-S-in-ball
-    # masked max as the gather path; ~4x faster on TPU at bs=256.
+    # dense formulation (module docstring). Eval-only by default: the
+    # dense TRAINING backward materializes [B,J,M,C] intermediates and
+    # measured 2x slower than the gather path's backward (164 vs 89
+    # ms/step at bs=64), so training keeps the gather formulation; the
+    # weighted-BN dense train path remains available for A/B.
     dense_eval: bool = True
+    dense_train: bool = False
 
     @nn.compact
     def __call__(self, pcl_feat, node_feat, pcl_xyz, node_xyz,
@@ -54,15 +101,15 @@ class DESA(nn.Module):
                 pcl_xyz, node_xyz, radius=tuple(self.radius),
                 num_samples=tuple(self.num_samples),
                 interpret=self.pallas_interpret).astype(self.dtype)
-        norm = lambda name: TorchBatchNorm(use_running_average=not train,
-                                         momentum=0.9, epsilon=1e-5,
-                                         dtype=self.dtype, name=name)
+        norm = lambda name: WeightedTorchBatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
         support_xyz = jnp.concatenate([pcl_xyz, node_xyz], axis=1)
         support_feat = jnp.concatenate([pcl_feat, node_feat], axis=1)
         # one pairwise-distance matmul shared by all scales
         d2 = pairwise_sqdist(node_xyz, support_xyz)
 
-        dense = self.dense_eval and not train
+        dense = self.dense_train if train else self.dense_eval
 
         scale_outs = []
         for i, (r, s) in enumerate(zip(self.radius, self.num_samples)):
@@ -71,17 +118,10 @@ class DESA(nn.Module):
             dense_f = nn.Dense(self.mlp[0], kernel_init=conv_init,
                                dtype=self.dtype, name=f'conv_f0_{i}')
             if dense:
-                # first-S-in-ball mask without top_k: exclusive-prefix rank
-                in_ball = d2 < (r * r)                          # [B,J,M]
-                rank = jnp.cumsum(in_ball.astype(jnp.int32), -1) - 1
-                mask = in_ball & (rank < s)
-                # closest-point fallback for empty balls
-                none_valid = ~jnp.any(in_ball, -1, keepdims=True)
-                closest = jnp.argmin(d2, -1)[..., None]
-                m_ids = jnp.arange(d2.shape[-1])[None, None, :]
-                mask = mask | (none_valid & (m_ids == closest))
-                # Dense is linear: Dense((a-b)/r) = (Dense(a)-Dense(b))/r
-                # + bias, so the per-pair inputs split into per-point terms
+                valid, bn_w = dense_group_masks(d2, r, s)
+                if not train:
+                    bn_w = None   # eval BN uses running stats
+                # linearity split (module docstring)
                 zl = dense_l(jnp.zeros_like(node_xyz[:, :1]))   # bias [B,1,C]
                 ls = dense_l(support_xyz)                       # [B,M,C]
                 ln = dense_l(node_xyz)                          # [B,J,C]
@@ -91,20 +131,20 @@ class DESA(nn.Module):
                 fs = dense_f(support_feat)
                 fn = dense_f(node_feat)
                 feat = fs[:, None] - fn[:, :, None] + zf[:, :, None]
-                valid = mask
             else:
                 idx, valid, rel_xyz = ball_query_group(
                     support_xyz, node_xyz, r, s, d2=d2)
                 grouped_feat = group_features(support_feat, idx)  # [B,J,S,C]
                 loc = dense_l(rel_xyz / r)
                 feat = dense_f(grouped_feat - node_feat[:, :, None, :])
-            loc = norm(f'bn_l0_{i}')(loc)
-            feat = norm(f'bn_f0_{i}')(feat)
+                bn_w = None
+            loc = norm(f'bn_l0_{i}')(loc, bn_w)
+            feat = norm(f'bn_f0_{i}')(feat, bn_w)
             h = nn.relu(loc + feat)
             for k, out_ch in enumerate(self.mlp[1:]):
                 h = nn.Dense(out_ch, kernel_init=conv_init, dtype=self.dtype,
                              name=f'conv_{i}_{k}')(h)
-                h = nn.relu(norm(f'bn_{i}_{k}')(h))
+                h = nn.relu(norm(f'bn_{i}_{k}')(h, bn_w))
             # masked max over the group axis; slot 0 is always valid
             h = jnp.where(valid[..., None], h, -jnp.inf)
             scale_outs.append(jnp.max(h, axis=2))              # [B,J,mlp-1]
