@@ -71,10 +71,12 @@ def _build(batch_size, cfg):
                                point_num=cfg.point_num, seed=0)
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
     frame = frame_from_batch(batch, cfg)
-    # serving mode: bf16 compute + approx_min_k neighbor selection
-    # (geometry/pcl.py — recall ~1.0 at this k/M, 7x faster than exact)
+    # serving mode: bf16 compute, approx_min_k neighbor selection
+    # (geometry/pcl.py — recall ~1.0 at this k/M, 7x faster than exact),
+    # fused Pallas DESA (kernels/desa_dense_pallas.py)
     model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
-                     dtype=jnp.bfloat16, fast_topk=True)
+                     dtype=jnp.bfloat16, fast_topk=True,
+                     use_pallas_desa=True)
     # init must be jitted: eager flax init issues thousands of tiny
     # dispatches, which takes minutes over a high-latency device link
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch['rgb'],

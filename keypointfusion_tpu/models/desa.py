@@ -92,10 +92,13 @@ class DESA(nn.Module):
         """pcl_feat [B,N,C], node_feat [B,J,C], pcl_xyz [B,N,3],
         node_xyz [B,J,3] → [B,J,C]."""
         if self.use_pallas and not train and not self.is_initializing():
-            from keypointfusion_tpu.kernels.desa_pallas import \
-                desa_apply_inference
+            # whole-DESA fused kernel (kernels/desa_dense_pallas.py):
+            # VMEM-resident dense formulation, 11.9 vs 19.1 ms/batch for
+            # the XLA dense path at bs=256 bf16 on v5e
+            from keypointfusion_tpu.kernels.desa_dense_pallas import \
+                desa_dense_fused
             v = self.variables
-            return desa_apply_inference(
+            return desa_dense_fused(
                 v['params'], v['batch_stats'],
                 pcl_feat.astype(self.dtype), node_feat.astype(self.dtype),
                 pcl_xyz, node_xyz, radius=tuple(self.radius),
