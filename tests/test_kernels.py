@@ -42,3 +42,29 @@ def test_desa_pallas_matches_module():
                                nodes, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_desa_dense_fused_kernel_matches_module():
+    """Whole-DESA fused kernel (kernels/desa_dense_pallas.py) vs the
+    module's dense eval path, interpret mode, incl. an empty-ball case."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from keypointfusion_tpu.models.desa import DESA
+    from keypointfusion_tpu.kernels.desa_dense_pallas import \
+        desa_dense_fused
+
+    rng = np.random.RandomState(0)
+    B, N, J, C = 2, 150, 21, 128
+    pf = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    nf = jnp.asarray(rng.randn(B, J, C).astype(np.float32))
+    pxyz = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+    nxyz = jnp.asarray(rng.uniform(-0.5, 0.5, (B, J, 3)).astype(np.float32))
+    nxyz = nxyz.at[0, 0].set(jnp.array([5., 5., 5.]))   # empty balls
+    d = DESA(128)
+    v = jax.jit(d.init)(jax.random.PRNGKey(0), pf, nf, pxyz, nxyz)
+    want = d.apply(v, pf, nf, pxyz, nxyz)
+    got = desa_dense_fused(v['params'], v['batch_stats'], pf, nf, pxyz,
+                           nxyz, interpret=True, mlp_precision='highest')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3)
