@@ -93,6 +93,10 @@ class Config:
     # approx_min_k pcl->pixel neighbor selection (geometry/pcl.py) — 7x
     # faster on TPU, measured recall 1.0; keep False for exact-parity eval
     fast_topk: bool = False
+    # rematerialize the forward in the training backward (jax.checkpoint):
+    # trades ~1/3 more FLOPs for activation memory — needed for training
+    # batches >= 256 (the dense pixel-weight path holds [B,N,HW] f32)
+    remat: bool = False
 
     @property
     def joint_num(self) -> int:

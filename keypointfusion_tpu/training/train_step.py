@@ -118,12 +118,18 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
     def step_fn(state: TrainState, batch, rng, epoch):
         frame = frame_from_batch(batch, cfg)
 
-        def loss_fn(params):
-            (results, sw), new_state = state.model.apply(
+        def forward(params):
+            return state.model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
                 batch['rgb'], batch['depth'], batch['pcl'], frame,
                 kernel, True, rngs={'dropout': rng},
                 mutable=['batch_stats'])
+        if cfg.remat:
+            # rematerialize activations in the backward (Config.remat)
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            (results, sw), new_state = forward(params)
             loss, metrics = compute_losses(
                 results, sw, batch['depth'], batch['uvd_gt'],
                 batch['xyz_gt'], frame, cfg, epoch)
