@@ -50,7 +50,7 @@ def _pad_to(x, axis, mult):
 
 def _kernel(sup_xyzT_ref, node_rows_ref, at_ref, bt_ref, w2t_ref, b2_ref,
             nft_ref, wfut_ref, bfu_ref, tri_ref, out_ref,
-            *, radii, s, j_real, m_real, mlp_precision):
+            *, radii, num_samples, j_real, m_real, mlp_precision):
     # NOTE on addressing: every per-joint extraction below uses full-width
     # one-hot reductions / outer-product accumulation rather than 1-lane
     # slices or stores — Mosaic mis-lowers sub-tile lane addressing
@@ -85,7 +85,8 @@ def _kernel(sup_xyzT_ref, node_rows_ref, at_ref, bt_ref, w2t_ref, b2_ref,
         # exclusive prefix count: tri[m', m] = 1 iff m' < m
         rank = jax.lax.dot(ibf, tri_ref[:],
                            preferred_element_type=jnp.float32)
-        mask = ibf * jnp.where(rank < jnp.float32(s), 1.0, 0.0)
+        mask = ibf * jnp.where(rank < jnp.float32(num_samples[i]),
+                               1.0, 0.0)
         cnt = jnp.sum(ibf, axis=1, keepdims=True)
         dmin = jnp.min(d2, axis=1, keepdims=True)
         closest = jnp.where(d2 <= dmin, 1.0, 0.0)
@@ -182,8 +183,8 @@ def desa_dense_fused(params: dict, batch_stats: dict,
     prec = {'default': jax.lax.Precision.DEFAULT,
             'highest': jax.lax.Precision.HIGHEST}[mlp_precision]
     kernel = functools.partial(
-        _kernel, radii=tuple(radius), s=num_samples[0], j_real=j, m_real=m,
-        mlp_precision=prec)
+        _kernel, radii=tuple(radius), num_samples=tuple(num_samples),
+        j_real=j, m_real=m, mlp_precision=prec)
     bspec = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)

@@ -73,9 +73,10 @@ class DESA(nn.Module):
     num_samples: Sequence[int] = (64, 64, 64)
     radius: Sequence[float] = (0.1, 0.2, 0.4)
     dtype: Any = jnp.float32
-    # inference-path fused Pallas kernel (kernels/desa_pallas.py): BN
-    # folded into the Dense weights, whole per-scale chain VMEM-resident.
-    # Only taken in eval (training needs live batch statistics).
+    # inference-path fused Pallas kernel (kernels/desa_dense_pallas.py):
+    # BN folded into the Dense weights, the whole dense formulation
+    # VMEM-resident. Only taken in eval (training needs live batch
+    # statistics).
     use_pallas: bool = False
     pallas_interpret: bool = False   # interpret mode for CPU tests
     # dense formulation (module docstring). Eval-only by default: the

@@ -31,10 +31,10 @@ class StreamingEngine:
                  batch_size: int = 64, img_hw=(480, 640),
                  dtype=jnp.bfloat16, use_pallas_desa: bool = False,
                  pallas_interpret: bool = False):
-        """use_pallas_desa routes the eval-path DESA through the fused
-        Pallas kernel (kernels/desa_pallas.py) instead of the XLA
-        composition — numerically equal (tested), opt-in because at these
-        sizes XLA is already competitive (see docs/DESIGN.md)."""
+        """use_pallas_desa routes the eval-path DESA through the
+        whole-DESA fused Pallas kernel (kernels/desa_dense_pallas.py),
+        11.9 vs 19.1 ms/batch for the XLA dense path at bs=256 on v5e
+        (see docs/DESIGN.md)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.img_hw = img_hw

@@ -74,18 +74,20 @@ def compute_losses(results: Sequence[jnp.ndarray],
             total = total + loss_pixel + loss_coord
             metrics[f'loss_pixel_{index}'] = loss_pixel
             metrics[f'loss_coord_{index}'] = loss_coord
-        else:  # stage 2/3: KFAM xyz refinement
+        elif stage in (2, 3):  # KFAM xyz refinement
             joint_xyz = results[index]
             loss_coord = loss_fn(joint_xyz, xyz_gt) * cfg.coord_weight
             total = total + loss_coord
             metrics[f'loss_coord_{index}'] = loss_coord
+        # stage 0 (raw uvd output) gets NO loss, like the reference train
+        # loop (train.py:213-240 has no branch for it)
 
     for index, sw in enumerate(spatial_weights):
         sigma = 3.0 if index == 0 else 2.0
         hm_gt = joint_to_heatmap(uvd_gt[..., :2], kernel, feature_size,
                                  sigma=sigma)
         sw_gt = hm_gt / jnp.max(hm_gt)                      # global max
-        loss_sw = smooth_l1_loss(sw, sw_gt) * cfg.spatial_weight[index]
+        loss_sw = loss_fn(sw, sw_gt) * cfg.spatial_weight[index]
         gate = (epoch <= cfg.spatial_epoch[index]).astype(jnp.float32) \
             if hasattr(epoch, 'astype') else float(
                 epoch <= cfg.spatial_epoch[index])

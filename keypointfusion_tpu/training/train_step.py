@@ -181,12 +181,17 @@ def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
         # independent masks; a replicated key would reuse one mask)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
-        def loss_fn(params):
-            (results, sw), new_state = state.model.apply(
+        def forward(params):
+            return state.model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
                 batch['rgb'], batch['depth'], batch['pcl'], frame,
                 kernel, True, rngs={'dropout': rng},
                 mutable=['batch_stats'])
+        if cfg.remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            (results, sw), new_state = forward(params)
             loss, metrics = compute_losses(
                 results, sw, batch['depth'], batch['uvd_gt'],
                 batch['xyz_gt'], frame, cfg, epoch)
