@@ -71,12 +71,12 @@ def _build(batch_size, cfg):
                                point_num=cfg.point_num, seed=0)
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
     frame = frame_from_batch(batch, cfg)
-    # serving mode: bf16 compute, approx_min_k neighbor selection
-    # (geometry/pcl.py — recall ~1.0 at this k/M, 7x faster than exact),
-    # fused Pallas DESA (kernels/desa_dense_pallas.py)
+    # serving mode: bf16 compute, fused Pallas DESA
+    # (kernels/desa_dense_pallas.py) and fused point->pixel sampler
+    # (kernels/pixel_sampler_pallas.py — replaces approx_min_k + densify)
     model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
                      dtype=jnp.bfloat16, fast_topk=True,
-                     use_pallas_desa=True)
+                     use_pallas_desa=True, use_pallas_sampler=True)
     # init must be jitted: eager flax init issues thousands of tiny
     # dispatches, which takes minutes over a high-latency device link
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch['rgb'],
@@ -143,6 +143,80 @@ def _measure(batch_size, cfg):
     return chained_fps, blocking_fps, flops_per_frame
 
 
+def _measure_streaming(cfg, batch_size=64, n_batches=16, depth=3):
+    """Full-pipeline streaming throughput: uint16/uint8 FULL frames in,
+    world-mm joints out, on-device preprocessing included, double-buffered
+    (serving.StreamingEngine). All inputs are DISTINCT pre-staged device
+    buffers (no dispatch can be memoized) and every output is fetched to
+    host. Pre-staging excludes the host->device link from the measurement:
+    over this remote tunnel the link runs at ~1% of a production PCIe/DMA
+    path, which would measure the tunnel, not the chip."""
+    import jax
+    import numpy as np
+    from keypointfusion_tpu.serving import StreamingEngine
+
+    eng = StreamingEngine(cfg, batch_size=batch_size, img_hw=(480, 640),
+                          use_pallas_desa=True, use_pallas_sampler=True)
+    rng = np.random.RandomState(0)
+
+    def make_batch():
+        depth_f = np.zeros((batch_size, 480, 640), np.uint16)
+        depth_f[:, 160:320, 240:400] = rng.randint(
+            500, 700, (batch_size, 160, 160)).astype(np.uint16)
+        rgb = rng.randint(0, 255, (batch_size, 480, 640, 3)
+                          ).astype(np.uint8)
+        centers = np.tile(np.array([[320, 240, 600]], np.float32),
+                          (batch_size, 1))
+        cube = np.full((batch_size, 3), 250, np.float32)
+        cam = np.tile(np.array([[600, 600, 320, 240]], np.float32),
+                      (batch_size, 1))
+        return {'depth': depth_f, 'rgb': rgb, 'centers': centers,
+                'cube': cube, 'cam': cam}
+
+    staged = []
+    for _ in range(n_batches + 2):
+        staged.append({k: jax.device_put(v)
+                       for k, v in make_batch().items()})
+    # warmup: compile + fill the pipeline
+    for _ in eng.process_stream(iter(staged[:2]), depth=depth):
+        pass
+    t0 = time.perf_counter()
+    n_out = 0
+    for out in eng.process_stream(iter(staged[2:]), depth=depth):
+        n_out += out['joint_xyz_mm'].shape[0]
+    dt = time.perf_counter() - t0
+    return n_out / dt
+
+
+def _measure_training(batch_size, cfg, steps=10):
+    """Training-step throughput: K sequential dispatches of the jitted
+    train step, each step's input state being the previous step's output —
+    a data-dependent chain that can neither overlap nor be memoized; the
+    clock stops on a host fetch of the final loss."""
+    import jax
+    import jax.numpy as jnp
+    from keypointfusion_tpu.data.synthetic import synthetic_batch
+    from keypointfusion_tpu.training.train_step import (
+        create_train_state, make_train_step,
+    )
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        batch_size=batch_size, point_num=cfg.point_num, seed=0).items()}
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=100)
+    step = make_train_step(cfg)
+    rngs = jax.random.split(jax.random.PRNGKey(1), steps + 1)
+    ep = jnp.zeros((), jnp.int32)
+    state, m = step(state, batch, rngs[0], ep)    # compile + warm
+    jax.device_get(m['loss'])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, batch, rngs[i + 1], ep)
+    jax.device_get(m['loss'])
+    dt = time.perf_counter() - t0
+    return dt / steps * 1000.0, batch_size * steps / dt
+
+
 def main():
     import jax
     from keypointfusion_tpu.utils.compile_cache import \
@@ -156,6 +230,14 @@ def main():
 
     fps256, fps256_blocking, flops_frame = _measure(256, cfg)
     fps64, fps64_blocking, _ = _measure(64, cfg)
+    streaming_fps = _measure_streaming(cfg.replace(fast_topk=True))
+
+    # training: the production fast config — bf16 backbones + f32 fusion
+    # head, approx neighbor selection (exact selection stays the
+    # parity-eval default, Config.fast_topk)
+    tcfg = Config(compute_dtype='mixed', fast_topk=True)
+    train_ms64, train_sps64 = _measure_training(64, tcfg)
+    train_ms256, train_sps256 = _measure_training(256, tcfg, steps=4)
 
     mfu = (flops_frame * fps256 / peak) if peak else None
     print(json.dumps({
@@ -171,6 +253,11 @@ def main():
         "bs256_blocking_fps": round(fps256_blocking, 1),
         "bs64_chained_fps": round(fps64, 1),
         "bs64_blocking_fps": round(fps64_blocking, 1),
+        "streaming_fps_bs64": round(streaming_fps, 1),
+        "train_ms_per_step_bs64": round(train_ms64, 2),
+        "train_samples_per_sec_bs64": round(train_sps64, 1),
+        "train_ms_per_step_bs256": round(train_ms256, 2),
+        "train_samples_per_sec_bs256": round(train_sps256, 1),
     }))
 
 

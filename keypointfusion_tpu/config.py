@@ -51,6 +51,12 @@ class Config:
     save_dir: str = './'
     dexycb_setup: str = 's0'
     pretrain: str = '1k'
+    # on-disk ImageNet checkpoint (file or directory) backing `pretrain`;
+    # when empty the conventional torch hub cache is searched and a miss
+    # falls back to random init (the reference downloads over the network,
+    # resnetUnet.py:278-288 — this environment cannot). Setting this to a
+    # path with no matching checkpoint is an error.
+    pretrain_dir: str = ''
     point_num: int = 1024
 
     load_model: str = ''
@@ -68,8 +74,9 @@ class Config:
     opt: str = 'adamw'                # ['sgd', 'adam', 'adamw']
     scheduler: str = 'step'           # ['auto', 'step', 'constant']
     step_gamma: float = 0.1
+    # accepted for config-surface compatibility; dead in the reference too
+    # (defined at reference config.py:65,67 but never read anywhere)
     downsample: int = 2               # [1, 2, 4, 8]
-
     awr: bool = True
     coord_weight: float = 100.
     deconv_weight: float = 1.
@@ -94,8 +101,9 @@ class Config:
     # faster on TPU, measured recall 1.0; keep False for exact-parity eval
     fast_topk: bool = False
     # rematerialize the forward in the training backward (jax.checkpoint):
-    # trades ~1/3 more FLOPs for activation memory — needed for training
-    # batches >= 256 (the dense pixel-weight path holds [B,N,HW] f32)
+    # trades ~1/3 more FLOPs for activation memory on very large batches.
+    # (bs=256 no longer needs it: the dense pixel sampler recomputes its
+    # [B,N,HW] weight matrix in the backward — geometry/pcl.py)
     remat: bool = False
 
     @property

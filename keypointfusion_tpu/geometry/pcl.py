@@ -8,8 +8,11 @@ shape stays static under jit.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from keypointfusion_tpu.geometry.camera import (
     CropFrame, inv3x3, points_img_to_3d, transform_points_2d,
@@ -65,6 +68,50 @@ def pcl_pixel_weights(closeness, index, hw: int):
         onehot = (index[:, :, i][..., None] == cols).astype(jnp.float32)
         w = w + cl[:, :, i][..., None] * onehot
     return w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sample_pixel_features(flat_feat, closeness, index, hw: int):
+    """All per-pixel feature lookups of a fusion block as ONE MXU matmul,
+    with a memory-safe backward.
+
+    flat_feat [B,HW,C_total] (channel-concat of the maps to sample),
+    closeness/index [B,N,K] top-k pixel weights → [B,N,C_total] f32.
+
+    Forward: densify the weights to [B,N,HW] (pcl_pixel_weights) and ride
+    the MXU — numerically identical to the sparse gather-sum (HIGHEST
+    precision, the extra terms are exact zeros). Backward: the weight
+    matrix is RECOMPUTED from (closeness, index) — a cheap function of
+    tiny inputs — instead of being saved, so the 1 GB [B,N,HW] f32 tensor
+    at bs=256 never lives across the forward/backward boundary; this is
+    what makes single-chip bs=256 training fit (round-2 OOM cause).
+    closeness/index receive zero cotangents (the reference computes them
+    on the host with no gradient at all, loader.py:936-967)."""
+    w = pcl_pixel_weights(closeness, index, hw)
+    return jnp.einsum('bnm,bmc->bnc', w, flat_feat.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _sample_fwd(flat_feat, closeness, index, hw: int):
+    out = sample_pixel_features(flat_feat, closeness, index, hw)
+    # zero-size dtype witness: cotangents must match the primal dtype
+    proto = jnp.zeros((0,), flat_feat.dtype)
+    return out, (closeness, index, proto)
+
+
+def _sample_bwd(hw: int, res, g):
+    closeness, index, proto = res
+    w = pcl_pixel_weights(closeness, index, hw)
+    grad_flat = jnp.einsum('bnm,bnc->bmc', w, g.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST)
+    zeros_cl = jnp.zeros_like(closeness)
+    zeros_idx = np.zeros(index.shape, jax.dtypes.float0) \
+        if jnp.issubdtype(index.dtype, jnp.integer) \
+        else jnp.zeros_like(index)
+    return grad_flat.astype(proto.dtype), zeros_cl, zeros_idx
+
+
+sample_pixel_features.defvjp(_sample_fwd, _sample_bwd)
 
 
 def img_to_anchor_dis(joint_uvd, depth, frame: CropFrame, gamma: float = 10.0):

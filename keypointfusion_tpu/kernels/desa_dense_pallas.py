@@ -6,19 +6,29 @@ kernel keeps the entire per-batch-element computation in VMEM and writes
 only the [J,C] result:
 
     d2 = pairwise(node, support)                       (MXU, in-kernel)
-    mask_i = first-S-in-ball via a triangular-matmul rank
+    mask_i = first-S-in-ball via a CHUNKED triangular-matmul rank
              (+ closest-point fallback for empty balls)
-    h1_i[j] = relu(A_i - B_i[j])      A/B = the per-point linear terms of
-                                      the BN-folded loc/feat layers
-                                      (precomputed outside, one matmul)
+    A_i  = W_f,i @ featT + (W_l,i @ xyzT)/r            (MXU, in-kernel —
+             the per-point linear terms of the BN-folded loc/feat layers;
+             computing them here instead of XLA removes ~450 MB/batch of
+             HBM traffic at bs=256)
+    h1_i[j] = relu(A_i - B_i[j])                       (B_i: tiny per-node
+                                                        terms, XLA)
     out_i[j] = maskedmax_m relu(W2_i h1 + b2_i)        (MXU per joint)
     out = relu(Wfu [out_0; out_1; out_2; node_feat] + bfu)
 
 Numerically equal to DESA.apply(train=False) with BN running stats (same
 masked-max set; the linearity split matches models/desa.py). The J loop is
 unrolled (J=21 static), so each grid step issues 63 [C,C]x[C,M] matmuls
-plus the d2/rank/fusion matmuls — ~2.5 GFLOP per batch element with only
-~3 MB of HBM traffic.
+plus the d2/rank/A/fusion matmuls — ~2.9 GFLOP per batch element with only
+~1.2 MB of HBM traffic.
+
+Rank computation: first-S-in-ball needs an exclusive prefix count per
+support point. v1 used one [Mp,Mp] strictly-upper triangular matmul
+(340 MFLOP f32 per scale per element — the single most expensive op in
+the kernel); v2 ranks hierarchically: per-128-chunk local rank via a
+[128,128] triangular matmul plus a running scalar prefix — 9x fewer
+FLOPs, identical integers.
 
 Replaces the hot inner loop of the reference's CUDA pointnet2 pipeline
 (reference model/model.py:129-204)."""
@@ -48,9 +58,10 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-def _kernel(sup_xyzT_ref, node_rows_ref, at_ref, bt_ref, w2t_ref, b2_ref,
-            nft_ref, wfut_ref, bfu_ref, tri_ref, out_ref,
-            *, radii, num_samples, j_real, m_real, mlp_precision):
+def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
+            bt_ref, w2t_ref, b2_ref, nft_ref, wfut_ref, bfu_ref, tri_ref,
+            out_ref, *, radii, inv_radii, num_samples, j_real, m_real,
+            mlp_precision):
     # NOTE on addressing: every per-joint extraction below uses full-width
     # one-hot reductions / outer-product accumulation rather than 1-lane
     # slices or stores — Mosaic mis-lowers sub-tile lane addressing
@@ -74,25 +85,41 @@ def _kernel(sup_xyzT_ref, node_rows_ref, at_ref, bt_ref, w2t_ref, b2_ref,
     d2 = jnp.where(lane < m_real, d2, jnp.float32(1e30))
 
     jp = out_ref.shape[-1]
+    mp = d2.shape[-1]
     jrow = jax.lax.broadcasted_iota(jnp.int32, (1, jp), 1)       # [1, Jp]
     jcol = jax.lax.broadcasted_iota(jnp.int32, (d2.shape[0], 1), 0)
+    supfT = supfT_ref[0]                                   # [C, Mp]
 
     scale_accs = []
     for i, r in enumerate(radii):
         # f32 masks throughout: Mosaic rejects narrow-bitwidth casts and
         # selects on i1 vectors
         ibf = jnp.where(d2 < jnp.float32(r * r), 1.0, 0.0)  # [Jp, Mp]
-        # exclusive prefix count: tri[m', m] = 1 iff m' < m
-        rank = jax.lax.dot(ibf, tri_ref[:],
-                           preferred_element_type=jnp.float32)
+        # hierarchical exclusive prefix count: per-128-chunk local rank
+        # (tri128[m',m] = 1 iff m' < m) + running chunk-sum prefix
+        chunks = []
+        prefix = jnp.zeros((d2.shape[0], 1), jnp.float32)
+        for q in range(mp // 128):
+            blk = ibf[:, q * 128:(q + 1) * 128]
+            local = jax.lax.dot(blk, tri_ref[:],
+                                preferred_element_type=jnp.float32)
+            chunks.append(local + prefix)
+            prefix = prefix + jnp.sum(blk, axis=1, keepdims=True)
+        rank = jnp.concatenate(chunks, axis=1)             # [Jp, Mp]
         mask = ibf * jnp.where(rank < jnp.float32(num_samples[i]),
                                1.0, 0.0)
-        cnt = jnp.sum(ibf, axis=1, keepdims=True)
+        cnt = prefix                                        # total in-ball
         dmin = jnp.min(d2, axis=1, keepdims=True)
         closest = jnp.where(d2 <= dmin, 1.0, 0.0)
         maskf = jnp.where(cnt > 0, mask, closest)          # [Jp, Mp] f32
 
-        a = at_ref[0, i]                                   # [C, Mp]
+        # per-point linear terms (BN-folded loc+feat layers), in-kernel:
+        # A_i = W_f,i @ featT + (W_l,i @ xyzT) / r_i        [C, Mp]
+        a = (jnp.dot(wfT_ref[i], supfT, precision=mlp_precision,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(wlT_ref[i], sx, precision=mlp_precision,
+                       preferred_element_type=jnp.float32)
+             * jnp.float32(inv_radii[i]))
         bv = bt_ref[0, i]                                  # [C, Jp]
         w2 = w2t_ref[i]                                    # [C, C]
         # all 128 columns of b2_ref[i] are identical
@@ -130,7 +157,7 @@ def desa_dense_fused(params: dict, batch_stats: dict,
     """Fused inference DESA. Args as in models.desa.DESA.__call__;
     params/batch_stats are the DESA module subtrees. Returns [B,J,C].
 
-    mlp_precision: matmul precision for the per-joint MLP and fusion dots
+    mlp_precision: matmul precision for the A/per-joint-MLP/fusion dots
     ('default' = bf16 multiplies — right for the bf16 serving path and 6x
     faster; 'highest' = f32-exact, for parity tests). The d2 matmul is
     always HIGHEST: in-ball membership at r^2=0.01 cannot tolerate bf16
@@ -143,7 +170,7 @@ def desa_dense_fused(params: dict, batch_stats: dict,
     mp = -(-m // 128) * 128
     jp = 128
 
-    a_list, b_list, w2_list, b2_list = [], [], [], []
+    wfT_list, wlT_list, b_list, w2_list, b2_list = [], [], [], [], []
     for i, r in enumerate(radius):
         wl, bl = fold_bn(params[f'conv_l0_{i}'], params[f'bn_l0_{i}'],
                          batch_stats[f'bn_l0_{i}'])
@@ -152,16 +179,24 @@ def desa_dense_fused(params: dict, batch_stats: dict,
         w2, b2 = fold_bn(params[f'conv_{i}_0'], params[f'bn_{i}_0'],
                          batch_stats[f'bn_{i}_0'])
         inv_r = 1.0 / r
-        a_i = sup_feat @ wf + (sup_xyz @ wl) * inv_r        # [B,M,C]
-        b_i = (node_feat.astype(jnp.float32) @ wf
-               + (node_xyz @ wl) * inv_r - bf - bl)         # [B,J,C]
-        a_list.append(a_i)
+        # tiny per-node terms stay in XLA (HIGHEST keeps them exact)
+        b_i = (jnp.einsum('bjc,cd->bjd', node_feat.astype(jnp.float32), wf,
+                          precision=jax.lax.Precision.HIGHEST)
+               + jnp.einsum('bjc,cd->bjd', node_xyz.astype(jnp.float32),
+                            wl, precision=jax.lax.Precision.HIGHEST)
+               * inv_r - bf - bl)                           # [B,J,C]
         b_list.append(b_i)
+        wfT_list.append(wf.T)                               # [C, C]
+        # wl is [3, C]; pad the input dim to 128 so the in-kernel dot with
+        # the zero-padded [128, Mp] coordinate rows is a full-width
+        # contraction (extra rows multiply exact zeros)
+        wlT_list.append(jnp.pad(wl.T, ((0, 0), (0, 128 - wl.shape[0]))))
         w2_list.append(w2.T)                                # [C_out, C]
         b2_list.append(jnp.broadcast_to(b2[:, None], (c, 128)))
 
-    at = _pad_to(jnp.stack(a_list, 1).transpose(0, 1, 3, 2), 3, 128)
     bt = _pad_to(jnp.stack(b_list, 1).transpose(0, 1, 3, 2), 3, jp)
+    wfT = jnp.stack(wfT_list, 0).astype(jnp.float32)        # [3, C, C]
+    wlT = jnp.stack(wlT_list, 0).astype(jnp.float32)        # [3, C, 128]
     w2t = jnp.stack(w2_list, 0).astype(jnp.float32)
     b2b = jnp.stack(b2_list, 0).astype(jnp.float32)
 
@@ -172,19 +207,23 @@ def desa_dense_fused(params: dict, batch_stats: dict,
 
     sup_xyzT = _pad_to(_pad_to(
         sup_xyz.astype(jnp.float32).transpose(0, 2, 1), 1, 128), 2, 128)
+    supfT = _pad_to(sup_feat.transpose(0, 2, 1), 2, 128)    # [B, C, Mp]
     node_rows = _pad_to(_pad_to(
         node_xyz.astype(jnp.float32), 2, 128), 1, 32)
     nft = _pad_to(node_feat.astype(jnp.float32).transpose(0, 2, 1), 2, jp)
 
-    # strictly-upper triangular ones: tri[m', m] = 1 iff m' < m
-    tri = jnp.asarray(np.triu(np.ones((mp, mp), np.float32), 1))
+    # strictly-upper triangular ones for ONE 128-chunk: tri[m',m]=1 iff
+    # m' < m (the chunked hierarchical rank needs only this block)
+    tri = jnp.asarray(np.triu(np.ones((128, 128), np.float32), 1))
 
     jp_rows = node_rows.shape[1]
     prec = {'default': jax.lax.Precision.DEFAULT,
             'highest': jax.lax.Precision.HIGHEST}[mlp_precision]
     kernel = functools.partial(
-        _kernel, radii=tuple(radius), num_samples=tuple(num_samples),
-        j_real=j, m_real=m, mlp_precision=prec)
+        _kernel, radii=tuple(radius),
+        inv_radii=tuple(1.0 / r for r in radius),
+        num_samples=tuple(num_samples), j_real=j, m_real=m,
+        mlp_precision=prec)
     bspec = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -195,13 +234,15 @@ def desa_dense_fused(params: dict, batch_stats: dict,
         kernel,
         grid=(b,),
         in_specs=[bspec((128, mp)), bspec((jp_rows, 128)),
-                  bspec((3, c, mp)), bspec((3, c, jp)),
+                  bspec((c, mp)),
+                  wspec((3, c, c)), wspec((3, c, 128)),
+                  bspec((3, c, jp)),
                   wspec((3, c, c)), wspec((3, c, 128)),
                   bspec((c, jp)), wspec((c, 4 * c)), wspec((c, 128)),
-                  wspec((mp, mp))],
+                  wspec((128, 128))],
         out_specs=bspec((c, jp)),
         out_shape=jax.ShapeDtypeStruct((b, c, jp), jnp.float32),
         interpret=interpret,
-    )(sup_xyzT, node_rows, at.astype(jnp.float32), bt.astype(jnp.float32),
-      w2t, b2b, nft, wfut, bfub, tri)
+    )(sup_xyzT, node_rows, supfT, wfT, wlT,
+      bt.astype(jnp.float32), w2t, b2b, nft, wfut, bfub, tri)
     return out[:, :, :j].transpose(0, 2, 1)

@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: fused point→pixel feature sampling for serving.
+
+Replaces the serving path's three-op chain — pairwise d2 (matmul), top-k
+neighbor selection (`lax.approx_min_k`, ~12 ms/batch at [256·1024,1024]),
+weight densification to [B,N,HW] (~4 ms + 1 GB HBM write) and the dense
+sampling matmul — with ONE VMEM-resident pass per batch element
+(reference semantics: loader.py:936-967 img2pcl_index "version 1"
+weighting + the gathers of model/model.py:297-306):
+
+    d2[n,m]  = ‖pcl_n − img_xyz_m‖²           (MXU, HIGHEST — bf16 MXU
+                                               rounding flips selection
+                                               comparisons, see
+                                               desa_dense_pallas.py)
+    sel[n,:] = k smallest entries of d2[n,:], ties broken by LOWEST index
+               (k unrolled min+argmin-mask sweeps — exactly lax.top_k's
+               tie order; flat-background depth crops produce exact d2
+               ties on the symmetric pixel grid, so tie order matters)
+    w[n,m]   = sel / (d2 + 1e-8),              row-normalized
+    out[n,:] = w[n,:] @ flat_feat              (MXU)
+
+The [B,N,HW] weight matrix never exists in HBM: traffic is just the
+inputs + the [B,N,C] output. Selection is identical to the exact XLA
+top_k path (tested); only the w@feat matmul precision is a serving knob.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e30
+
+
+def _pad_lanes(x, mult: int = 128):
+    pad = (-x.shape[-1]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths)
+
+
+def _kernel(pcl_ref, img_xyzT_ref, feat_ref, out_ref, *, k, hw_real,
+            feat_precision):
+    px = pcl_ref[0]                                         # [N, 128]
+    ix = img_xyzT_ref[0]                                    # [128, HW]
+    pn2 = jnp.sum(px * px, axis=1, keepdims=True)           # [N, 1]
+    in2 = jnp.sum(ix * ix, axis=0, keepdims=True)           # [1, HW]
+    # zero-padded coordinate lanes contribute exactly 0 to the contraction
+    cross = jax.lax.dot_general(
+        px, ix, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                 # [N, HW]
+    d2 = pn2 + in2 - 2.0 * cross
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2 = jnp.where(lane < hw_real, d2, jnp.float32(BIG))
+
+    # k smallest per row, one at a time, ties broken by lowest index —
+    # matching lax.top_k exactly. f32 masks throughout (Mosaic rejects
+    # selects on narrow vectors, see desa_dense_pallas.py).
+    lane_f = lane.astype(jnp.float32)
+    t = d2
+    sel = jnp.zeros_like(d2)
+    for _ in range(k):
+        m = jnp.min(t, axis=1, keepdims=True)
+        is_min = jnp.where(t <= m, 1.0, 0.0)
+        idx_min = jnp.min(
+            jnp.where(is_min > 0, lane_f, jnp.float32(BIG)),
+            axis=1, keepdims=True)
+        pick = is_min * jnp.where(lane_f == idx_min, 1.0, 0.0)
+        sel = sel + pick
+        t = t + pick * jnp.float32(BIG)
+
+    inv = 1.0 / (d2 + jnp.float32(1e-8))
+    w = sel * inv
+    w = w / (jnp.sum(w, axis=1, keepdims=True) + jnp.float32(1e-8))
+    out_ref[0] = jax.lax.dot_general(
+        w, feat_ref[0], (((1,), (0,)), ((), ())),
+        precision=feat_precision,
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'interpret',
+                                             'feat_precision'))
+def sample_pixel_features_fused(pcl_xyz, img_xyz, flat_feat, k: int = 4,
+                                interpret: bool = False,
+                                feat_precision: str = 'default'):
+    """pcl_xyz [B,N,3] normalized xyz; img_xyz [B,HW,3] back-projected
+    pixel xyz (geometry.pcl.img_to_pcl_index computes the same field);
+    flat_feat [B,HW,C] maps to sample. Returns [B,N,C] f32.
+
+    feat_precision: the w@feat matmul ('default' = bf16 MXU multiplies for
+    serving; 'highest' for f32-exact comparisons). The d2 matmul is always
+    HIGHEST."""
+    b, n, _ = pcl_xyz.shape
+    hw = img_xyz.shape[1]
+    c = flat_feat.shape[-1]
+    cp = -(-c // 128) * 128
+    hwp = -(-hw // 128) * 128
+
+    px = _pad_lanes(pcl_xyz.astype(jnp.float32))            # [B,N,128]
+    ixT = _pad_lanes(_pad_lanes(
+        img_xyz.astype(jnp.float32)).transpose(0, 2, 1), 128)  # [B,128,HWp]
+    feat = _pad_lanes(flat_feat.astype(jnp.float32))        # [B,HW,Cp]
+    if hwp != hw:
+        feat = jnp.pad(feat, ((0, 0), (0, hwp - hw), (0, 0)))
+
+    prec = {'default': jax.lax.Precision.DEFAULT,
+            'highest': jax.lax.Precision.HIGHEST}[feat_precision]
+    kernel = functools.partial(_kernel, k=k, hw_real=hw,
+                               feat_precision=prec)
+    # block the point axis: a full [N,HW] f32 distance field plus its
+    # selection temporaries exceeds the 16 MB VMEM budget at N=1024
+    bn = 256 if n % 256 == 0 else n
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, hwp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hwp, cp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bn, cp), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, cp), jnp.float32),
+        interpret=interpret,
+    )(px, ixT, feat)
+    return out[:, :, :c]

@@ -99,12 +99,17 @@ class DESA(nn.Module):
             from keypointfusion_tpu.kernels.desa_dense_pallas import \
                 desa_dense_fused
             v = self.variables
+            # f32 model dtype asks for the exact MLP matmuls; bf16 serving
+            # keeps the 6x-faster default MXU precision
+            prec = 'highest' if jnp.dtype(self.dtype) == jnp.float32 \
+                else 'default'
             return desa_dense_fused(
                 v['params'], v['batch_stats'],
                 pcl_feat.astype(self.dtype), node_feat.astype(self.dtype),
                 pcl_xyz, node_xyz, radius=tuple(self.radius),
                 num_samples=tuple(self.num_samples),
-                interpret=self.pallas_interpret).astype(self.dtype)
+                interpret=self.pallas_interpret,
+                mlp_precision=prec).astype(self.dtype)
         norm = lambda name: WeightedTorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)

@@ -21,7 +21,9 @@ import flax.linen as nn
 from keypointfusion_tpu.models.norm import TorchBatchNorm
 
 from keypointfusion_tpu.geometry.camera import CropFrame
-from keypointfusion_tpu.geometry.pcl import img_to_anchor_dis
+from keypointfusion_tpu.geometry.pcl import (
+    img_to_anchor_dis, sample_pixel_features,
+)
 from keypointfusion_tpu.ops.codecs import joint_to_heatmap, pcl_joint_to_offset
 from keypointfusion_tpu.models.desa import DESA
 from keypointfusion_tpu.models.transformer import KPInteraction, CrossDecoder
@@ -42,17 +44,15 @@ def gather_pixel_features(feat_map, pcl_index, pcl_closeness):
     return jnp.sum(gathered * pcl_closeness[..., None], axis=2)
 
 
-def gather_pixel_features_dense(feat_maps, pix_weights):
+def gather_pixel_features_dense(feat_maps, closeness, index):
     """One matmul for ALL per-pixel feature lookups of a block:
     feat_maps [B,H,W,C_total] (channel-concat of the maps to sample),
-    pix_weights [B,N,HW] dense top-k closeness → [B,N,C_total].
-    HIGHEST precision keeps the f32 products bit-comparable to the
-    sparse gather-sum it replaces."""
+    closeness/index [B,N,K] top-k pixel weights → [B,N,C_total].
+    Rides geometry.pcl.sample_pixel_features: MXU-dense forward,
+    recompute-the-weights backward (memory-safe at bs=256)."""
     b, h, w, c = feat_maps.shape
     flat = feat_maps.reshape(b, h * w, c)
-    return jnp.einsum('bnm,bmc->bnc', pix_weights,
-                      flat.astype(jnp.float32),
-                      precision=jax.lax.Precision.HIGHEST)
+    return sample_pixel_features(flat, closeness, index, h * w)
 
 
 class _EmbedBN(nn.Module):
@@ -75,10 +75,14 @@ class FusionBlock(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_desa: bool = False   # fused DESA kernel on the eval path
     pallas_interpret: bool = False
+    # transformer dropout (reference config/config.json: 0.1); 0 disables —
+    # used by the multi-step training-trajectory parity test, where RNG
+    # streams can't be aligned across frameworks
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, img_feat, img_feat_rgb, pcl, joint_xyz,
-                 pix_weights, weight_map,
+                 sampled, weight_map,
                  updated_2d_feature: Optional[jnp.ndarray],
                  frame: CropFrame, img_down, kernel: float = 0.8,
                  train: bool = False):
@@ -86,9 +90,13 @@ class FusionBlock(nn.Module):
 
         img_feat / img_feat_rgb: [B,H,W,C] backbone features (H=W=32).
         pcl [B,N,3]; joint_xyz [B,J,3] current joint estimate;
-        pix_weights [B,N,HW] dense top-k pixel closeness
-        (geometry.pcl.pcl_pixel_weights); weight_map [B,H,W,J] — the weight
-        channels of the (stop-gradient) depth dense prediction;
+        sampled [B,N,2C+J] per-point sampled pixel features — the
+        channel-concat [img_feat | img_feat_rgb | weight_map] looked up at
+        each cloud point's top-k nearest pixels (computed ONCE in KPFusion:
+        the maps don't change between stages, so the reference's per-block
+        re-gathers, model/model.py:297-306, are redundant work);
+        weight_map [B,H,W,J] — the weight channels of the (stop-gradient)
+        depth dense prediction;
         updated_2d_feature [B,J,C] from the previous stage or None;
         img_down [B,H,W,1] nearest-downsampled depth.
 
@@ -102,11 +110,6 @@ class FusionBlock(nn.Module):
         # ---- RGB keypoint aggregation (model/model.py:294-320) ----
         pcl_offset_xyz = jax.lax.stop_gradient(
             pcl_joint_to_offset(joint_xyz, pcl, kernel))       # [B,N,4J]
-        # all three pixel lookups of this block ride ONE MXU matmul
-        sampled = gather_pixel_features_dense(
-            jnp.concatenate([img_feat, img_feat_rgb,
-                             weight_map.astype(img_feat.dtype)], -1),
-            pix_weights)
         pcl_feat = sampled[..., :c].astype(self.dtype)
         pcl_feat_rgb = sampled[..., c:2 * c].astype(self.dtype)
         pcl_weight = jax.lax.stop_gradient(
@@ -142,8 +145,8 @@ class FusionBlock(nn.Module):
 
         # ---- intra-modal keypoint interaction (model/model.py:330) ----
         init_seq, refined_3d = KPInteraction(
-            img_dim=self.dim, dtype=self.dtype, name='init_TR')(
-            joint_feat, train)
+            img_dim=self.dim, dropout=self.dropout, dtype=self.dtype,
+            name='init_TR')(joint_feat, train)
 
         # ---- depth keypoint aggregation (model/model.py:332-344) ----
         hm = joint_to_heatmap(refined_3d[..., :2], kernel, h, sigma=1.0)
@@ -168,11 +171,12 @@ class FusionBlock(nn.Module):
             img_feat_j = nn.relu((img_feat_j + updated_2d_feature) / 2.0)
 
         # ---- inter-modal keypoint interaction (model/model.py:346-349) ----
-        cross = CrossDecoder(hidden=self.dim, joint_num=j, dtype=self.dtype,
+        cross = CrossDecoder(hidden=self.dim, joint_num=j,
+                             dropout=self.dropout, dtype=self.dtype,
                              name='crossTR')(img_feat_j, init_seq, train)
         refined_feat = jnp.concatenate([refined_3d, cross], axis=-1)
         _, refined_2d = KPInteraction(
-            img_dim=self.dim + 3, dtype=self.dtype, name='final_TR')(
-            refined_feat, train)
+            img_dim=self.dim + 3, dropout=self.dropout, dtype=self.dtype,
+            name='final_TR')(refined_feat, train)
 
         return refined_3d, refined_2d, img_feat_j, spatial_weight

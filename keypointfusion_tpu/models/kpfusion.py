@@ -17,7 +17,7 @@ import flax.linen as nn
 
 from keypointfusion_tpu.geometry.camera import CropFrame, uvd_nl_to_xyz_nl
 from keypointfusion_tpu.geometry.pcl import (
-    img_to_pcl_index, pcl_pixel_weights,
+    img_to_pcl_index, sample_pixel_features,
 )
 from keypointfusion_tpu.ops.codecs import offset_to_joint_weight
 from keypointfusion_tpu.ops.resize import resize_nearest_torch
@@ -52,10 +52,16 @@ class KPFusion(nn.Module):
     dtype: Any = jnp.float32
     backbone_dtype: Any = None
     use_pallas_desa: bool = False   # fused DESA kernel on the eval path
+    # fused point->pixel sampler kernel on the eval path
+    # (kernels/pixel_sampler_pallas.py): d2 + top-k threshold + weights +
+    # sampling matmul in one VMEM pass, no [B,N,HW] HBM tensor
+    use_pallas_sampler: bool = False
     pallas_interpret: bool = False
     # approx_min_k neighbor selection (see geometry.pcl.img_to_pcl_index);
     # default off so parity runs are exact — serving/bench enable it
     fast_topk: bool = False
+    # transformer dropout rate (reference config/config.json)
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, rgb, depth, pcl, frame: CropFrame,
@@ -89,12 +95,34 @@ class KPFusion(nn.Module):
 
         img_down = resize_nearest_torch(depth, h)
         joint_xyz = uvd_nl_to_xyz_nl(joint_uvd, frame)
-        pcl_closeness, pcl_index = img_to_pcl_index(
-            pcl, img_down, frame, select_num=4,
-            exact=not self.fast_topk)
-        # densify once: every per-pixel lookup in both blocks becomes an
-        # MXU matmul (geometry.pcl.pcl_pixel_weights)
-        pix_weights = pcl_pixel_weights(pcl_closeness, pcl_index, h * h)
+
+        # point->pixel feature sampling, hoisted OUT of the fusion blocks:
+        # the sampled maps (backbone features + weight channels) don't
+        # change between stages, so one sampling pass serves both blocks
+        # (the reference re-gathers per block, model/model.py:297-306)
+        maps = jnp.concatenate(
+            [img_feat, img_feat_rgb, weight_map.astype(img_feat.dtype)],
+            axis=-1)
+        if self.use_pallas_sampler and not train \
+                and not self.is_initializing():
+            from keypointfusion_tpu.geometry.grid import img_uvd_points
+            from keypointfusion_tpu.kernels.pixel_sampler_pallas import \
+                sample_pixel_features_fused
+            img_xyz = uvd_nl_to_xyz_nl(img_uvd_points(img_down), frame)
+            sampled = sample_pixel_features_fused(
+                pcl, img_xyz, maps.reshape(maps.shape[0], h * h, -1),
+                k=4, interpret=self.pallas_interpret)
+        else:
+            pcl_closeness, pcl_index = img_to_pcl_index(
+                pcl, img_down, frame, select_num=4,
+                exact=not self.fast_topk)
+            # no gradient flows through the pixel weights (the reference
+            # computes them on the host, loader.py:936-967) and the
+            # sampler recomputes its dense [B,N,HW] form in the backward
+            # (geometry.pcl.sample_pixel_features)
+            sampled = sample_pixel_features(
+                maps.reshape(maps.shape[0], h * h, -1),
+                jax.lax.stop_gradient(pcl_closeness), pcl_index, h * h)
 
         results = [img_offset, img_offset_rgb]
         spatial_weights = []
@@ -104,8 +132,9 @@ class KPFusion(nn.Module):
                 joint_num=j, dim=self.dim, dtype=self.dtype,
                 use_pallas_desa=self.use_pallas_desa,
                 pallas_interpret=self.pallas_interpret,
+                dropout=self.dropout,
                 name=f'block{i + 1}')(
-                img_feat, img_feat_rgb, pcl, joint_xyz, pix_weights,
+                img_feat, img_feat_rgb, pcl, joint_xyz, sampled,
                 weight_map, updated_2d_feature, frame, img_down,
                 kernel, train)
             results.append(refined_3d)

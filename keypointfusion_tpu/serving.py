@@ -30,16 +30,19 @@ class StreamingEngine:
     def __init__(self, cfg: Config, variables: Optional[dict] = None,
                  batch_size: int = 64, img_hw=(480, 640),
                  dtype=jnp.bfloat16, use_pallas_desa: bool = False,
+                 use_pallas_sampler: bool = False,
                  pallas_interpret: bool = False):
         """use_pallas_desa routes the eval-path DESA through the
-        whole-DESA fused Pallas kernel (kernels/desa_dense_pallas.py),
-        11.9 vs 19.1 ms/batch for the XLA dense path at bs=256 on v5e
-        (see docs/DESIGN.md)."""
+        whole-DESA fused Pallas kernel (kernels/desa_dense_pallas.py);
+        use_pallas_sampler fuses the point->pixel sampling
+        (kernels/pixel_sampler_pallas.py) — both are the serving-mode
+        defaults in bench.py (see docs/DESIGN.md)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.img_hw = img_hw
         self.model = KPFusion(net=cfg.net, joint_num=cfg.joint_num,
                               dtype=dtype, use_pallas_desa=use_pallas_desa,
+                              use_pallas_sampler=use_pallas_sampler,
                               pallas_interpret=pallas_interpret,
                               fast_topk=cfg.fast_topk)
 
@@ -49,7 +52,7 @@ class StreamingEngine:
                 frame_from_batch
             b = {k: jnp.asarray(v) for k, v in synthetic_batch(
                 batch_size=2, point_num=cfg.point_num).items()}
-            variables = self.model.init(
+            variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0), b['rgb'], b['depth'], b['pcl'],
                 frame_from_batch(b, cfg))
         self.variables = variables

@@ -85,8 +85,11 @@ def create_train_state(cfg: Config, rng, sample_batch,
                      dtype=dtype, backbone_dtype=backbone_dtype,
                      fast_topk=cfg.fast_topk)
     frame = frame_from_batch(sample_batch, cfg)
-    variables = model.init(rng, sample_batch['rgb'], sample_batch['depth'],
-                           sample_batch['pcl'], frame)
+    # jitted init: eager flax init issues thousands of tiny dispatches,
+    # which takes minutes over the remote-TPU link
+    variables = jax.jit(model.init)(
+        rng, sample_batch['rgb'], sample_batch['depth'],
+        sample_batch['pcl'], frame)
     tx = make_optimizer(cfg, steps_per_epoch)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -115,7 +118,17 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
     """
     kernel = cfg.feature_para[0]
 
+    def _check_state(state):
+        # tx/model default to None structurally (they sit after lr_scale's
+        # default) — fail loudly at first step, not with an opaque
+        # AttributeError deep inside the trace
+        if state.tx is None or state.model is None:
+            raise ValueError(
+                'TrainState.tx/model are unset — construct the state with '
+                'create_train_state (or pass tx=/model= explicitly)')
+
     def step_fn(state: TrainState, batch, rng, epoch):
+        _check_state(state)
         frame = frame_from_batch(batch, cfg)
 
         def forward(params):
@@ -169,7 +182,6 @@ def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
     over the data axis; running stats are pmean'd (torch DP effectively
     keeps only the master replica's — averaging is the less arbitrary
     choice and identical in expectation)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     kernel = cfg.feature_para[0]
@@ -213,11 +225,14 @@ def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
 
     state_spec = P()
     batch_spec = P(axis)
-    sharded = shard_map(
+    # jax.shard_map (the jax.experimental.shard_map module is deprecated
+    # in jax 0.8+); check_vma=False — BN running stats are pmean'd, not
+    # replicated per-shard, so the varying-manifest check doesn't apply
+    sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(state_spec, batch_spec, state_spec, state_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
 
 

@@ -77,30 +77,51 @@ class Checkpointer:
         os.makedirs(self.dir, exist_ok=True)
         self.ckptr = ocp.StandardCheckpointer()
 
-    def _payload(self, state: TrainState, epoch: int):
+    def _payload(self, state: TrainState, epoch: int,
+                 min_error: float = float('inf'), plateau: int = 0):
+        # lr_scale / min_error / plateau are persisted so resuming a
+        # scheduler='auto' run keeps its plateau-decayed learning rate and
+        # tracking state instead of silently resetting to the base lr
         return {'params': state.params, 'batch_stats': state.batch_stats,
                 'opt_state': state.opt_state,
-                'step': state.step, 'epoch': jnp.asarray(epoch)}
+                'step': state.step, 'epoch': jnp.asarray(epoch),
+                'lr_scale': state.lr_scale,
+                'min_error': jnp.asarray(
+                    np.float32(min(min_error, np.finfo(np.float32).max))),
+                'plateau': jnp.asarray(plateau)}
 
-    def save(self, name: str, state: TrainState, epoch: int):
+    def save(self, name: str, state: TrainState, epoch: int,
+             min_error: float = float('inf'), plateau: int = 0):
         path = osp.join(self.dir, name)
-        self.ckptr.save(path, self._payload(state, epoch), force=True)
+        self.ckptr.save(path, self._payload(state, epoch, min_error,
+                                            plateau), force=True)
         self.ckptr.wait_until_finished()
 
     def restore(self, name: str, state: TrainState):
-        """Full restore including optimizer state and epoch."""
+        """Full restore including optimizer state, epoch, lr_scale and
+        plateau tracking. Returns (state, epoch, min_error, plateau);
+        checkpoints from before the lr_scale fields default-fill."""
         path = osp.join(self.dir, name)
         target = self._payload(state, 0)
-        restored = self.ckptr.restore(path, target)
+        try:
+            restored = self.ckptr.restore(path, target)
+        except Exception:
+            # pre-round-3 checkpoint without the scheduler fields
+            legacy = {k: target[k] for k in
+                      ('params', 'batch_stats', 'opt_state', 'step',
+                       'epoch')}
+            restored = dict(target, **self.ckptr.restore(path, legacy))
         new_state = state.replace(
             params=restored['params'], batch_stats=restored['batch_stats'],
-            opt_state=restored['opt_state'], step=restored['step'])
-        return new_state, int(restored['epoch'])
+            opt_state=restored['opt_state'], step=restored['step'],
+            lr_scale=jnp.asarray(restored['lr_scale'], jnp.float32))
+        return (new_state, int(restored['epoch']),
+                float(restored['min_error']), int(restored['plateau']))
 
     def restore_weights(self, name: str, state: TrainState):
         """Warm-start weights only (the reference's effective resume
         semantics, train.py:100-117)."""
-        new_state, _ = self.restore(name, state)
+        new_state = self.restore(name, state)[0]
         return state.replace(params=new_state.params,
                              batch_stats=new_state.batch_stats)
 
@@ -128,6 +149,9 @@ class Trainer:
         with open(osp.join(self.model_dir, 'config.json'), 'w') as f:
             json.dump({k: str(v) for k, v in vars(type(cfg)).items()
                        if not k.startswith('_')}, f, default=str)
+        # run-provenance source snapshot (reference train.py:60-66)
+        from keypointfusion_tpu.utils.provenance import snapshot_sources
+        snapshot_sources(osp.join(self.model_dir, 'files'))
         logging.basicConfig(
             filename=osp.join(self.model_dir, 'train.log'),
             level=logging.INFO, force=False)
@@ -145,6 +169,11 @@ class Trainer:
         if self.mesh is not None:
             self.state = jax.device_put(
                 self.state, replicated_sharding(self.mesh))
+        if cfg.pretrain:
+            # ImageNet backbone warm start (reference resnetUnet.py:278-289,
+            # convNeXT/resnetUnet.py:97-109); load_model/finetune merge on
+            # top, mirroring the reference's construction-then-merge order
+            self.state = self._load_imagenet_pretrain()
         if cfg.load_model:
             if cfg.load_model.endswith('.pth'):
                 self.state = self._load_torch_checkpoint(cfg.load_model)
@@ -168,12 +197,40 @@ class Trainer:
             self.resume('latest')
 
     def resume(self, name: str = 'latest'):
-        """FULL resume: params, batch stats, optimizer state, step and
-        epoch (unlike the reference, which saved but never restored the
-        optimizer/epoch — train.py:97-107)."""
-        self.state, epoch = self.ckpt.restore(name, self.state)
+        """FULL resume: params, batch stats, optimizer state, step, epoch
+        and scheduler state — lr_scale + plateau tracking for
+        scheduler='auto' (unlike the reference, which saved but never
+        restored the optimizer/epoch — train.py:97-107)."""
+        self.state, epoch, self.min_error, self._plateau = \
+            self.ckpt.restore(name, self.state)
         self.start_epoch = epoch + 1
-        logging.info('resumed from %s at epoch %d', name, epoch)
+        logging.info('resumed from %s at epoch %d (lr_scale %.3e)', name,
+                     epoch, float(jax.device_get(self.state.lr_scale)))
+
+    def _load_imagenet_pretrain(self):
+        """Warm-start the two backbones from an on-disk torchvision /
+        ConvNeXt-release checkpoint when Config.pretrain is set
+        (utils/pretrain.py). Missing checkpoint: raises if pretrain_dir was
+        configured, otherwise keeps the random init and logs."""
+        from keypointfusion_tpu.utils.pretrain import \
+            imagenet_backbone_variables
+        from keypointfusion_tpu.utils.torch_convert import merge_partial
+        pre = imagenet_backbone_variables(self.cfg)
+        if pre is None:
+            logging.info(
+                'pretrain=%r: no ImageNet checkpoint on disk (set '
+                'Config.pretrain_dir or populate the torch hub cache); '
+                'backbones keep their random init', self.cfg.pretrain)
+            return self.state
+        init = {'params': self.state.params,
+                'batch_stats': self.state.batch_stats}
+        merged, used, skipped = merge_partial(init, pre)
+        merged = jax.tree_util.tree_map(jnp.asarray, merged)
+        logging.info('ImageNet warm start: %d tensors merged, %d skipped '
+                     '(stem-shape mismatches are expected)', len(used),
+                     len(skipped))
+        return self.state.replace(params=merged['params'],
+                                  batch_stats=merged['batch_stats'])
 
     def _load_torch_checkpoint(self, path: str):
         """Warm-start from a released reference .pth via the converter,
@@ -240,7 +297,8 @@ class Trainer:
             if test_error <= self.min_error:
                 self.min_error = test_error
                 self._plateau = 0
-                self.ckpt.save('best', self.state, epoch)
+                self.ckpt.save('best', self.state, epoch,
+                               self.min_error, self._plateau)
             elif cfg.scheduler == 'auto':
                 # reduce-on-plateau: decay after `plateau_patience` epochs
                 # without improvement (the intent behind the reference's
@@ -254,7 +312,8 @@ class Trainer:
                     self.state = self.state.replace(
                         lr_scale=jnp.asarray(new_scale, jnp.float32))
                     logging.info('plateau: lr_scale -> %.3e', new_scale)
-            self.ckpt.save('latest', self.state, epoch)
+            self.ckpt.save('latest', self.state, epoch,
+                           self.min_error, self._plateau)
             logging.info('epoch %d done, test_error %.4f', epoch,
                          test_error)
         return self.min_error

@@ -51,10 +51,17 @@ def test_one_epoch_and_checkpoint(trainer):
         losses.append(float(jax.device_get(metrics['loss'])))
     assert np.isfinite(losses).all()
 
-    # checkpoint round trip
-    trainer.ckpt.save('latest', trainer.state, epoch=0)
-    restored, epoch = trainer.ckpt.restore('latest', trainer.state)
+    # checkpoint round trip, incl. scheduler state (lr_scale/min_error/
+    # plateau — resuming an 'auto' run must keep its decayed lr)
+    trainer.state = trainer.state.replace(
+        lr_scale=jnp.asarray(0.25, jnp.float32))
+    trainer.ckpt.save('latest', trainer.state, epoch=0,
+                      min_error=12.5, plateau=2)
+    restored, epoch, min_error, plateau = trainer.ckpt.restore(
+        'latest', trainer.state)
     assert epoch == 0
+    assert min_error == 12.5 and plateau == 2
+    assert float(restored.lr_scale) == 0.25
     p0 = jax.tree_util.tree_leaves(trainer.state.params)[0]
     p1 = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
