@@ -40,29 +40,24 @@ def dense_group_masks(d2, radius: float, s: int):
     first-S-in-ball points (or the closest point for empty balls) that feed
     the max-pool; weights [B,J,M] f32 — the slot multiplicity of every
     support point in the gather path's [B,J,S] group, summing to exactly S
-    per (b,j), for BatchNorm statistics parity)."""
+    per (b,j), for BatchNorm statistics parity). The gather path pads short
+    groups by REPEATING the slot-0 point (CUDA semantics,
+    ops/ball_query.py), so the first in-ball point carries multiplicity
+    1 + (S - k) when the ball holds k < S points."""
     in_ball = d2 < (radius * radius)                       # [B,J,M]
     ib = in_ball.astype(jnp.int32)
     rank_in = jnp.cumsum(ib, -1) - ib                      # exclusive
     sel_in = in_ball & (rank_in < s)
     k_total = jnp.sum(ib, -1, keepdims=True)
-    # out-of-ball fill slots: the gather path's top-k key ordering fills
-    # the remaining S-k slots with the first out-of-ball points in storage
-    # order (ops/ball_query.py)
-    out = ~in_ball
-    ob = out.astype(jnp.int32)
-    rank_out = jnp.cumsum(ob, -1) - ob
-    n_fill = s - jnp.minimum(k_total, s)
-    sel_fill = out & (rank_out < n_fill)
-    w = sel_in.astype(jnp.float32) + sel_fill.astype(jnp.float32)
+    n_fill = (s - jnp.minimum(k_total, s)).astype(jnp.float32)
+    first_in = (in_ball & (rank_in == 0)).astype(jnp.float32)
+    w = sel_in.astype(jnp.float32) + n_fill * first_in
 
-    # empty ball: slot 0 (the first fill) is replaced by the closest point
+    # empty ball: every slot holds the closest point
     empty = (k_total == 0)
     closest_oh = jax.nn.one_hot(jnp.argmin(d2, -1), d2.shape[-1],
                                 dtype=jnp.float32)
-    first_fill = (out & (rank_out == 0)).astype(jnp.float32)
-    emptyf = empty.astype(jnp.float32)
-    w = w - emptyf * first_fill + emptyf * closest_oh
+    w = jnp.where(empty, float(s) * closest_oh, w)
     mask_max = sel_in | (empty & (closest_oh > 0))
     return mask_max, jax.lax.stop_gradient(w)
 

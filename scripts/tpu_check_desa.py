@@ -34,7 +34,12 @@ variables = jax.jit(model.init)(jax.random.PRNGKey(0), pcl_feat, node_feat,
 
 @jax.jit
 def xla_path(pcl_feat, node_feat, pcl_xyz, node_xyz):
-    return model.apply(variables, pcl_feat, node_feat, pcl_xyz, node_xyz)
+    # force f32-exact matmuls: the module's Dense layers run at DEFAULT
+    # precision, which on TPU is bf16 multiplies — this reference must be
+    # at least as precise as the kernel under test
+    with jax.default_matmul_precision('highest'):
+        return model.apply(variables, pcl_feat, node_feat, pcl_xyz,
+                           node_xyz)
 
 
 @jax.jit
@@ -50,5 +55,23 @@ diff = np.abs(got - want)
 rel = diff.max() / max(np.abs(want).max(), 1e-9)
 print(f"desa v2 on-device max|diff| = {diff.max():.3e} (rel {rel:.3e})",
       flush=True)
-assert diff.max() < 5e-3, "DESA v2 HARDWARE MISMATCH"
+
+# Mismatching (b, j) pairs must be explained by a support point sitting AT
+# an in-ball boundary (kernel and XLA HIGHEST d2 round differently, so
+# membership d2 < r^2 can flip for boundary points, changing the
+# masked-max set). A clear-margin mismatch is a real lowering bug.
+from keypointfusion_tpu.ops.pairwise import pairwise_sqdist
+
+sup = jnp.concatenate([pcl_xyz, node_xyz], axis=1)
+d2 = np.asarray(jax.jit(pairwise_sqdist)(node_xyz, sup))
+bad = np.argwhere(diff.max(-1) > 1e-3)
+unexplained = 0
+for bb, jj in bad:
+    margin = min(np.abs(d2[bb, jj] - r * r).min() /
+                 max(r * r, 1e-12) for r in (0.1, 0.2, 0.4))
+    if margin > 1e-5:
+        unexplained += 1
+print(f"mismatch (b,j): {len(bad)}  unexplained (clear margin): "
+      f"{unexplained}", flush=True)
+assert unexplained == 0, "DESA v2 HARDWARE MISMATCH beyond boundary flips"
 print("ok", flush=True)
