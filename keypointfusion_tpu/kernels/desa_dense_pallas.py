@@ -89,6 +89,11 @@ def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
     jrow = jax.lax.broadcasted_iota(jnp.int32, (1, jp), 1)       # [1, Jp]
     jcol = jax.lax.broadcasted_iota(jnp.int32, (d2.shape[0], 1), 0)
     supfT = supfT_ref[0]                                   # [C, Mp]
+    # MLP compute dtype: explicit bf16 operands in serving mode guarantee
+    # single-pass MXU dots (f32 operands can lower to multi-pass bf16
+    # passes depending on backend defaults); f32 in 'highest' parity mode
+    cdt = jnp.bfloat16 if mlp_precision == jax.lax.Precision.DEFAULT \
+        else jnp.float32
 
     scale_accs = []
     for i, r in enumerate(radii):
@@ -101,7 +106,10 @@ def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
         prefix = jnp.zeros((d2.shape[0], 1), jnp.float32)
         for q in range(mp // 128):
             blk = ibf[:, q * 128:(q + 1) * 128]
-            local = jax.lax.dot(blk, tri_ref[:],
+            # bf16 operands are EXACT here (0/1 values, f32 accumulation
+            # of counts <= 128) and single-pass on the MXU
+            local = jax.lax.dot(blk.astype(jnp.bfloat16),
+                                tri_ref[:].astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)
             chunks.append(local + prefix)
             prefix = prefix + jnp.sum(blk, axis=1, keepdims=True)
@@ -115,13 +123,15 @@ def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
 
         # per-point linear terms (BN-folded loc+feat layers), in-kernel:
         # A_i = W_f,i @ featT + (W_l,i @ xyzT) / r_i        [C, Mp]
-        a = (jnp.dot(wfT_ref[i], supfT, precision=mlp_precision,
+        # (weight cast matches supfT's dtype — bf16 in serving mode)
+        a = (jnp.dot(wfT_ref[i].astype(supfT.dtype), supfT,
+                     precision=mlp_precision,
                      preferred_element_type=jnp.float32)
              + jnp.dot(wlT_ref[i], sx, precision=mlp_precision,
                        preferred_element_type=jnp.float32)
              * jnp.float32(inv_radii[i]))
         bv = bt_ref[0, i]                                  # [C, Jp]
-        w2 = w2t_ref[i]                                    # [C, C]
+        w2 = w2t_ref[i].astype(cdt)                        # [C, C]
         # all 128 columns of b2_ref[i] are identical
         b2col = jnp.mean(b2_ref[i], axis=1, keepdims=True)  # [C, 1]
         acc = jnp.zeros((a.shape[0], jp), jnp.float32)
@@ -130,7 +140,7 @@ def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
             oh_col = jnp.where(jcol == j, 1.0, 0.0)        # [Jp, 1]
             bj = jnp.sum(bv * oh_row, axis=1, keepdims=True)   # [C, 1]
             h1 = jnp.maximum(a - bj, 0.0)                  # [C, Mp]
-            h2 = jnp.dot(w2, h1, precision=mlp_precision,
+            h2 = jnp.dot(w2, h1.astype(cdt), precision=mlp_precision,
                          preferred_element_type=jnp.float32)
             h2 = jnp.maximum(h2 + b2col, 0.0)
             mrow = jnp.sum(maskf * oh_col, axis=0, keepdims=True)  # [1,Mp]
@@ -141,7 +151,8 @@ def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
 
     cat = jnp.concatenate(
         scale_accs + [nft_ref[0].astype(jnp.float32)], axis=0)
-    fused = jnp.dot(wfut_ref[:], cat, precision=mlp_precision,
+    fused = jnp.dot(wfut_ref[:].astype(cdt), cat.astype(cdt),
+                    precision=mlp_precision,
                     preferred_element_type=jnp.float32)    # [C, Jp]
     bfucol = jnp.mean(bfu_ref[:], axis=1, keepdims=True)
     out_ref[0] = jnp.maximum(fused + bfucol, 0.0)
@@ -207,7 +218,12 @@ def desa_dense_fused(params: dict, batch_stats: dict,
 
     sup_xyzT = _pad_to(_pad_to(
         sup_xyz.astype(jnp.float32).transpose(0, 2, 1), 1, 128), 2, 128)
-    supfT = _pad_to(sup_feat.transpose(0, 2, 1), 2, 128)    # [B, C, Mp]
+    # serving ships the feature transpose in bf16 (its dot runs at bf16
+    # anyway); 'highest' parity mode keeps f32
+    supf_dtype = jnp.float32 if mlp_precision == 'highest' \
+        else jnp.bfloat16
+    supfT = _pad_to(sup_feat.astype(supf_dtype).transpose(0, 2, 1),
+                    2, 128)                                 # [B, C, Mp]
     node_rows = _pad_to(_pad_to(
         node_xyz.astype(jnp.float32), 2, 128), 1, 32)
     nft = _pad_to(node_feat.astype(jnp.float32).transpose(0, 2, 1), 2, jp)

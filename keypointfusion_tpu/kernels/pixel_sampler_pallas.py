@@ -11,16 +11,20 @@ weighting + the gathers of model/model.py:297-306):
                                                rounding flips selection
                                                comparisons, see
                                                desa_dense_pallas.py)
-    sel[n,:] = k smallest entries of d2[n,:], ties broken by LOWEST index
-               (k unrolled min+argmin-mask sweeps — exactly lax.top_k's
-               tie order; flat-background depth crops produce exact d2
-               ties on the symmetric pixel grid, so tie order matters)
+    sel[n,:] = k smallest entries of d2[n,:]
     w[n,m]   = sel / (d2 + 1e-8),              row-normalized
     out[n,:] = w[n,:] @ flat_feat              (MXU)
 
 The [B,N,HW] weight matrix never exists in HBM: traffic is just the
-inputs + the [B,N,C] output. Selection is identical to the exact XLA
-top_k path (tested); only the w@feat matmul precision is a serving knob.
+inputs + the [B,N,C] output. Two modes (feat_precision):
+  * 'highest' — f32 traffic, f32-exact dots, exact lax.top_k selection
+    incl. lowest-index tie-break (flat-background depth crops produce
+    exact d2 ties on the symmetric pixel grid, so tie order matters for
+    bit-parity); used by parity tests.
+  * 'default' (serving) — bf16 traffic + single-pass MXU dots, and
+    threshold selection: every pixel at distance <= the k-th smallest is
+    selected, so exact boundary ties admit all tied members (the cheap
+    half of the reduction budget; quality-neutral).
 """
 
 from __future__ import annotations
@@ -44,12 +48,16 @@ def _pad_lanes(x, mult: int = 128):
 
 
 def _kernel(pcl_ref, img_xyzT_ref, feat_ref, out_ref, *, k, hw_real,
-            feat_precision):
+            feat_precision, exact_ties):
     px = pcl_ref[0]                                         # [N, 128]
     ix = img_xyzT_ref[0]                                    # [128, HW]
     pn2 = jnp.sum(px * px, axis=1, keepdims=True)           # [N, 1]
     in2 = jnp.sum(ix * ix, axis=0, keepdims=True)           # [1, HW]
-    # zero-padded coordinate lanes contribute exactly 0 to the contraction
+    # zero-padded coordinate lanes contribute exactly 0 to the contraction.
+    # d2 is always HIGHEST (f32-exact): single-pass bf16 rounding visibly
+    # perturbs the inverse-distance weights, and Mosaic does not lower the
+    # intermediate HIGH (bf16_3x) precision. The contraction is only
+    # 3-deep, so this costs little.
     cross = jax.lax.dot_general(
         px, ix, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -58,29 +66,57 @@ def _kernel(pcl_ref, img_xyzT_ref, feat_ref, out_ref, *, k, hw_real,
     lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     d2 = jnp.where(lane < hw_real, d2, jnp.float32(BIG))
 
-    # k smallest per row, one at a time, ties broken by lowest index —
-    # matching lax.top_k exactly. f32 masks throughout (Mosaic rejects
-    # selects on narrow vectors, see desa_dense_pallas.py).
-    lane_f = lane.astype(jnp.float32)
-    t = d2
-    sel = jnp.zeros_like(d2)
-    for _ in range(k):
-        m = jnp.min(t, axis=1, keepdims=True)
-        is_min = jnp.where(t <= m, 1.0, 0.0)
-        idx_min = jnp.min(
-            jnp.where(is_min > 0, lane_f, jnp.float32(BIG)),
-            axis=1, keepdims=True)
-        pick = is_min * jnp.where(lane_f == idx_min, 1.0, 0.0)
-        sel = sel + pick
-        t = t + pick * jnp.float32(BIG)
-
+    # k smallest per row. Full-row lane reductions are the kernel's real
+    # cost (each min over 1024 lanes is a multi-step shuffle cascade), so
+    # the two modes trade them differently:
+    #  * exact_ties (parity): one-at-a-time min + argmin-mask sweeps —
+    #    lowest-index tie-break, matching lax.top_k exactly (2 reductions
+    #    per sweep);
+    #  * serving: threshold sweeps only (1 reduction per sweep) — all
+    #    pixels at distance <= the k-th-smallest are selected, so a tie
+    #    AT the boundary admits every tied member (their weights join the
+    #    normalization; selection differs from top_k only on exact ties).
+    # f32 masks throughout (Mosaic rejects selects on narrow vectors, see
+    # desa_dense_pallas.py).
     inv = 1.0 / (d2 + jnp.float32(1e-8))
-    w = sel * inv
-    w = w / (jnp.sum(w, axis=1, keepdims=True) + jnp.float32(1e-8))
-    out_ref[0] = jax.lax.dot_general(
-        w, feat_ref[0], (((1,), (0,)), ((), ())),
+    if exact_ties:
+        lane_f = lane.astype(jnp.float32)
+        t = d2
+        sel = jnp.zeros_like(d2)
+        for _ in range(k):
+            m = jnp.min(t, axis=1, keepdims=True)
+            is_min = jnp.where(t <= m, 1.0, 0.0)
+            idx_min = jnp.min(
+                jnp.where(is_min > 0, lane_f, jnp.float32(BIG)),
+                axis=1, keepdims=True)
+            pick = is_min * jnp.where(lane_f == idx_min, 1.0, 0.0)
+            sel = sel + pick
+            t = t + pick * jnp.float32(BIG)
+        w = sel * inv
+    else:
+        t = d2
+        thresh = jnp.zeros((d2.shape[0], 1), jnp.float32)
+        for _ in range(k):
+            thresh = jnp.min(t, axis=1, keepdims=True)
+            t = jnp.where(t <= thresh, jnp.float32(BIG), t)
+        w = jnp.where(d2 <= thresh, inv, 0.0)
+
+    # normalization sum via an MXU ones-matmul instead of another
+    # full-row lane reduction; all 128 result columns are identical.
+    # Weights are cast to the feat dtype FIRST so the normalizer sums
+    # exactly the values the sampling dot multiplies.
+    wc = w.astype(feat_ref.dtype)
+    ones = jnp.ones((d2.shape[1], 128), feat_ref.dtype)
+    sumw = jax.lax.dot_general(
+        wc, ones, (((1,), (0,)), ((), ())),
+        precision=feat_precision,
+        preferred_element_type=jnp.float32)                # [BN, 128]
+    denom = jnp.mean(sumw, axis=1, keepdims=True) + jnp.float32(1e-8)
+    res = jax.lax.dot_general(
+        wc, feat_ref[0], (((1,), (0,)), ((), ())),
         precision=feat_precision,
         preferred_element_type=jnp.float32)
+    out_ref[0] = (res / denom).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'interpret',
@@ -90,7 +126,8 @@ def sample_pixel_features_fused(pcl_xyz, img_xyz, flat_feat, k: int = 4,
                                 feat_precision: str = 'default'):
     """pcl_xyz [B,N,3] normalized xyz; img_xyz [B,HW,3] back-projected
     pixel xyz (geometry.pcl.img_to_pcl_index computes the same field);
-    flat_feat [B,HW,C] maps to sample. Returns [B,N,C] f32.
+    flat_feat [B,HW,C] maps to sample. Returns [B,N,C] (f32 under
+    'highest', bf16 under 'default' — serving halves the HBM traffic).
 
     feat_precision: the w@feat matmul ('default' = bf16 MXU multiplies for
     serving; 'highest' for f32-exact comparisons). The d2 matmul is always
@@ -104,17 +141,29 @@ def sample_pixel_features_fused(pcl_xyz, img_xyz, flat_feat, k: int = 4,
     px = _pad_lanes(pcl_xyz.astype(jnp.float32))            # [B,N,128]
     ixT = _pad_lanes(_pad_lanes(
         img_xyz.astype(jnp.float32)).transpose(0, 2, 1), 128)  # [B,128,HWp]
-    feat = _pad_lanes(flat_feat.astype(jnp.float32))        # [B,HW,Cp]
+    # f32 features only for the exact path; the serving dot is bf16 anyway
+    feat_dtype = jnp.float32 if feat_precision == 'highest' \
+        else jnp.bfloat16
+    feat = _pad_lanes(flat_feat.astype(feat_dtype))         # [B,HW,Cp]
     if hwp != hw:
         feat = jnp.pad(feat, ((0, 0), (0, hwp - hw), (0, 0)))
 
     prec = {'default': jax.lax.Precision.DEFAULT,
             'highest': jax.lax.Precision.HIGHEST}[feat_precision]
     kernel = functools.partial(_kernel, k=k, hw_real=hw,
-                               feat_precision=prec)
+                               feat_precision=prec,
+                               exact_ties=(feat_precision == 'highest'))
     # block the point axis: a full [N,HW] f32 distance field plus its
-    # selection temporaries exceeds the 16 MB VMEM budget at N=1024
-    bn = 256 if n % 256 == 0 else n
+    # selection temporaries exceeds the 16 MB VMEM budget at N=1024.
+    # 512-row blocks fit in serving mode (bf16 features) and halve the
+    # per-step fixed costs; the exact mode's extra f32 temporaries need
+    # 256-row blocks.
+    if feat_precision != 'highest' and n % 512 == 0:
+        bn = 512
+    elif n % 256 == 0:
+        bn = 256
+    else:
+        bn = n
     out = pl.pallas_call(
         kernel,
         grid=(b, n // bn),
@@ -128,7 +177,7 @@ def sample_pixel_features_fused(pcl_xyz, img_xyz, flat_feat, k: int = 4,
         ],
         out_specs=pl.BlockSpec((1, bn, cp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n, cp), feat_dtype),
         interpret=interpret,
     )(px, ixT, feat)
     return out[:, :, :c]

@@ -109,9 +109,13 @@ class KPFusion(nn.Module):
             from keypointfusion_tpu.kernels.pixel_sampler_pallas import \
                 sample_pixel_features_fused
             img_xyz = uvd_nl_to_xyz_nl(img_uvd_points(img_down), frame)
+            # f32 model dtype asks for the exact sampling matmul; bf16
+            # serving keeps the fast default MXU precision + bf16 traffic
+            prec = 'highest' if jnp.dtype(self.dtype) == jnp.float32 \
+                else 'default'
             sampled = sample_pixel_features_fused(
                 pcl, img_xyz, maps.reshape(maps.shape[0], h * h, -1),
-                k=4, interpret=self.pallas_interpret)
+                k=4, interpret=self.pallas_interpret, feat_precision=prec)
         else:
             pcl_closeness, pcl_index = img_to_pcl_index(
                 pcl, img_down, frame, select_num=4,

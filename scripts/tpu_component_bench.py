@@ -34,7 +34,9 @@ frame = frame_from_batch(batch, cfg)
 
 
 def timed(name, fn, *args):
-    """Chained scan timing; fn's first arg is perturbed per iteration."""
+    """Chained scan timing; fn's first arg is perturbed per iteration.
+    The fetched value is reduced to a SCALAR on device — fetching a large
+    output would time the remote tunnel's transfer, not the chip."""
     def chained(x0, *rest):
         def step(x, _):
             out = fn(x, *rest)
@@ -42,13 +44,14 @@ def timed(name, fn, *args):
             return x + leaf.sum().astype(x.dtype) * jnp.asarray(
                 1e-24, x.dtype), ()
         final, _ = jax.lax.scan(step, x0, None, length=ITERS)
-        return fn(final, *rest)
+        out = fn(final, *rest)
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(out))
     cc = jax.jit(chained).lower(*args).compile()
     warm = args[0] + jnp.asarray(7.0, args[0].dtype)
-    jax.device_get(jax.tree_util.tree_leaves(
-        cc(warm, *args[1:]))[0])
+    jax.device_get(cc(warm, *args[1:]))
     t0 = time.perf_counter()
-    jax.device_get(jax.tree_util.tree_leaves(cc(*args))[0])
+    jax.device_get(cc(*args))
     ms = (time.perf_counter() - t0) / (ITERS + 1) * 1000
     print(f"{name}: {ms:.2f} ms/batch", flush=True)
     return ms
