@@ -143,7 +143,7 @@ def _measure(batch_size, cfg):
     return chained_fps, blocking_fps, flops_per_frame
 
 
-def _measure_streaming(cfg, batch_size=64, n_batches=16, depth=3):
+def _measure_streaming(cfg, batch_size=64, n_batches=40, depth=8):
     """Full-pipeline streaming throughput: uint16/uint8 FULL frames in,
     world-mm joints out, on-device preprocessing included, double-buffered
     (serving.StreamingEngine). All inputs are DISTINCT pre-staged device

@@ -134,6 +134,11 @@ def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
         w2 = w2t_ref[i].astype(cdt)                        # [C, C]
         # all 128 columns of b2_ref[i] are identical
         b2col = jnp.mean(b2_ref[i], axis=1, keepdims=True)  # [C, 1]
+        # NOTE: the h1/h2 VPU chain stays f32 on purpose — a full-bf16
+        # variant (casts + bf16 elementwise) measured SLOWER (7.16 vs
+        # 6.29 ms/call at bs=256): the v5e VPU does not pack bf16 lanes,
+        # so the casts are pure overhead. Only the MXU dot operands are
+        # cast down (single-pass matmul).
         acc = jnp.zeros((a.shape[0], jp), jnp.float32)
         for j in range(j_real):                            # static unroll
             oh_row = jnp.where(jrow == j, 1.0, 0.0)        # [1, Jp]

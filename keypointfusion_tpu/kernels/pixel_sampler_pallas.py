@@ -51,18 +51,36 @@ def _kernel(pcl_ref, img_xyzT_ref, feat_ref, out_ref, *, k, hw_real,
             feat_precision, exact_ties):
     px = pcl_ref[0]                                         # [N, 128]
     ix = img_xyzT_ref[0]                                    # [128, HW]
-    pn2 = jnp.sum(px * px, axis=1, keepdims=True)           # [N, 1]
-    in2 = jnp.sum(ix * ix, axis=0, keepdims=True)           # [1, HW]
-    # zero-padded coordinate lanes contribute exactly 0 to the contraction.
-    # d2 is always HIGHEST (f32-exact): single-pass bf16 rounding visibly
-    # perturbs the inverse-distance weights, and Mosaic does not lower the
-    # intermediate HIGH (bf16_3x) precision. The contraction is only
-    # 3-deep, so this costs little.
-    cross = jax.lax.dot_general(
-        px, ix, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)                 # [N, HW]
-    d2 = pn2 + in2 - 2.0 * cross
+    if exact_ties:
+        # parity mode must bit-match the XLA exact path's d2, which uses
+        # the ||a||^2+||b||^2-2ab expansion (ops/pairwise.py) — tie values
+        # round identically only if the arithmetic matches
+        pn2 = jnp.sum(px * px, axis=1, keepdims=True)       # [N, 1]
+        in2 = jnp.sum(ix * ix, axis=0, keepdims=True)       # [1, HW]
+        cross = jax.lax.dot_general(
+            px, ix, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)             # [N, HW]
+        d2 = pn2 + in2 - 2.0 * cross
+    else:
+        # serving: d2 directly on the VPU — 3 broadcast-subtract-FMA
+        # passes. The MXU alternative is a 128-deep contraction (125
+        # padded lanes) needing HIGHEST (6-pass) for f32 accuracy — ~3x
+        # the time of the direct form, which is also MORE precise
+        # (squared differences, no expansion cancellation). Coordinate
+        # rows/columns are extracted by one-hot reductions (sub-tile
+        # slices mis-lower).
+        n_rows = px.shape[0]
+        plane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        d2 = jnp.zeros((n_rows, ix.shape[1]), jnp.float32)
+        for coord in range(3):
+            pc = jnp.sum(jnp.where(plane == coord, px, 0.0), axis=1,
+                         keepdims=True)                     # [N, 1]
+            xc = jnp.sum(jnp.where(srow == coord, ix, 0.0), axis=0,
+                         keepdims=True)                     # [1, HW]
+            diff = pc - xc
+            d2 = d2 + diff * diff
     lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     d2 = jnp.where(lane < hw_real, d2, jnp.float32(BIG))
 

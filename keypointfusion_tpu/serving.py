@@ -61,6 +61,8 @@ class StreamingEngine:
         point_num = cfg.point_num
         img_size = cfg.input_size
 
+        j = cfg.joint_num
+
         def pipeline(variables, depth_full, rgb_full, centers, cube, cam,
                      key):
             # ingest compact dtypes (uint16 depth mm, uint8 rgb) — host→HBM
@@ -77,38 +79,61 @@ class StreamingEngine:
             # world-mm joints
             world = joint_xyz * frame.cube[:, None] / 2.0 \
                 + frame.center[:, None]
-            return world, joint_uvd, frame.M
+            # ONE packed output: every host fetch is a round trip over the
+            # device link, and three small fetches per batch tripled the
+            # per-batch latency floor (measured: the dominant streaming
+            # cost on a high-latency link)
+            b = world.shape[0]
+            return jnp.concatenate(
+                [world.reshape(b, -1).astype(jnp.float32),
+                 joint_uvd.reshape(b, -1).astype(jnp.float32),
+                 frame.M.reshape(b, -1).astype(jnp.float32)], axis=-1)
 
+        self._joint_num = j
         self._pipeline = jax.jit(pipeline)
         self._key = jax.random.PRNGKey(cfg.seed)
 
     def submit(self, depth_full: np.ndarray, rgb_full: np.ndarray,
                centers: np.ndarray, cube: np.ndarray, cam: np.ndarray):
-        """Enqueue one batch (async; returns device futures)."""
+        """Enqueue one batch (async; returns a packed device future
+        [B, 2*3J+9] — world joints | uvd joints | crop M)."""
         self._key, k = jax.random.split(self._key)
         return self._pipeline(self.variables, jnp.asarray(depth_full),
                               jnp.asarray(rgb_full), jnp.asarray(centers),
                               jnp.asarray(cube), jnp.asarray(cam), k)
 
+    def _unpack(self, packed: np.ndarray) -> Dict[str, np.ndarray]:
+        j = self._joint_num
+        b = packed.shape[0]
+        return {'joint_xyz_mm': packed[:, :3 * j].reshape(b, j, 3),
+                'joint_uvd': packed[:, 3 * j:6 * j].reshape(b, j, 3),
+                'M': packed[:, 6 * j:].reshape(b, 3, 3)}
+
     def process_stream(self, batches: Iterator[Dict[str, np.ndarray]],
-                       depth: int = 2) -> Iterator[Dict[str, np.ndarray]]:
-        """Double-buffered streaming: keeps `depth` batches in flight."""
+                       depth: int = 8,
+                       fetch_workers: int = 6
+                       ) -> Iterator[Dict[str, np.ndarray]]:
+        """Pipelined streaming: keeps `depth` batches in flight and
+        overlaps the host fetches in a small thread pool (device→host
+        transfers release the GIL; on a high-latency link the serial
+        fetch, not device compute, is the throughput floor). Results are
+        yielded in submission order."""
+        from concurrent.futures import ThreadPoolExecutor
         buf = collections.deque()
         it = iter(batches)
-        try:
-            for _ in range(depth):
-                b = next(it)
-                buf.append(self.submit(b['depth'], b['rgb'], b['centers'],
-                                       b['cube'], b['cam']))
-        except StopIteration:
-            pass
-        for b in it:
-            world, uvd, M = buf.popleft()
-            buf.append(self.submit(b['depth'], b['rgb'], b['centers'],
-                                   b['cube'], b['cam']))
-            yield {'joint_xyz_mm': np.asarray(world),
-                   'joint_uvd': np.asarray(uvd), 'M': np.asarray(M)}
-        while buf:
-            world, uvd, M = buf.popleft()
-            yield {'joint_xyz_mm': np.asarray(world),
-                   'joint_uvd': np.asarray(uvd), 'M': np.asarray(M)}
+        with ThreadPoolExecutor(fetch_workers) as pool:
+            def enqueue(b):
+                fut = self.submit(b['depth'], b['rgb'], b['centers'],
+                                  b['cube'], b['cam'])
+                buf.append(pool.submit(lambda f: np.asarray(f), fut))
+            try:
+                for _ in range(depth):
+                    enqueue(next(it))
+            except StopIteration:
+                pass
+            for b in it:
+                packed = buf.popleft().result()
+                enqueue(b)
+                yield self._unpack(packed)
+            while buf:
+                yield self._unpack(buf.popleft().result())
