@@ -95,12 +95,28 @@ def device_crop(depth_full, rgb_full, center_uvd, cube, cam_para,
     cy = jnp.clip(src_y, 0, h0 - 1)
     valid = valid_y[:, :, None] & valid_x[:, None, :]         # [B,S,S]
 
-    def gather2d(img):
-        g = jax.vmap(lambda im, yy, xx: im[yy][:, xx])(img, cy, cx)
-        return g
+    # nearest-neighbor warp as two one-hot MXU matmuls (separable row +
+    # column select). XLA's gather lowering on TPU measured ~15 ms/batch
+    # at [64,480,640] — the one-hot matmuls run in well under 1 ms. The
+    # products are exact: one-hot entries are 0/1, depth values are f32
+    # (HIGHEST reconstructs f32 products exactly via the 3-term bf16
+    # split), rgb values are integers <= 255 (exact in bf16), and
+    # accumulation is f32 with exactly one nonzero term per output.
+    rows_oh = (cy[:, :, None] ==
+               jnp.arange(h0)[None, None, :]).astype(jnp.float32)
+    cols_oh = (cx[:, :, None] ==
+               jnp.arange(w0)[None, None, :]).astype(jnp.float32)
+    d_rows = jnp.einsum('bsh,bhw->bsw', rows_oh, depth_full,
+                        precision=jax.lax.Precision.HIGHEST)
+    d_g = jnp.einsum('bsw,btw->bst', d_rows, cols_oh,
+                     precision=jax.lax.Precision.HIGHEST)
+    r_rows = jnp.einsum('bsh,bhwc->bswc', rows_oh, rgb_full,
+                        precision=jax.lax.Precision.HIGHEST)
+    rgb_g = jnp.einsum('bswc,btw->bstc', r_rows, cols_oh,
+                       precision=jax.lax.Precision.HIGHEST)
 
-    d = jnp.where(valid, gather2d(depth_full), 0.0)           # [B,S,S]
-    rgb = jnp.where(valid[..., None], gather2d(rgb_full), 0.0)
+    d = jnp.where(valid, d_g, 0.0)                            # [B,S,S]
+    rgb = jnp.where(valid[..., None], rgb_g, 0.0)
 
     # z-threshold (getCrop semantics, loader.py:745-749)
     zs_ = zs[:, None, None]

@@ -167,18 +167,22 @@ def depth_to_pcl_fixed(depth, frame: CropFrame, key, num_points: int = 1024):
     xyz_nl = (xyz - frame.center[:, None, :]) / (frame.cube[:, None, :] / 2.0)
 
     # sample num_points valid indices per example, uniform over the valid
-    # set, via inverse-CDF on the validity cumsum: draw u ~ U[0, n_valid)
-    # and binary-search the running count. (The obvious
-    # jax.random.categorical over uniform logits broadcasts to a
-    # [B, num_points, HW] gumbel field — >1e9 random draws per serving
-    # batch, measured as the streaming pipeline's dominant cost.)
-    cnt = jnp.cumsum(valid.astype(jnp.int32), axis=-1)       # [B,HW]
-    total = cnt[:, -1:]                                      # [B,1]
+    # set: compact the valid pixel positions to the front with ONE sort,
+    # then draw uniform ordinals and gather. (Two prior formulations were
+    # measured as the streaming pipeline's dominant cost on TPU:
+    # jax.random.categorical broadcasts a [B, num_points, HW] gumbel
+    # field — >1e9 draws per serving batch — and searchsorted's
+    # gather-based binary search took ~12 ms/batch at bs=64.)
+    hw = valid.shape[-1]
+    positions = jnp.arange(hw, dtype=jnp.int32)[None, :]
+    sort_key = jnp.where(valid, positions, hw + positions)   # [B,HW]
+    compacted = jnp.sort(sort_key, axis=-1)                  # valid first
+    total = jnp.sum(valid, axis=-1, keepdims=True)           # [B,1]
     u = jax.random.uniform(key, (b, num_points)) * total.astype(jnp.float32)
     targets = jnp.minimum(u.astype(jnp.int32),
                           jnp.maximum(total - 1, 0))
-    idx = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side='right'))(
-        cnt, targets).astype(jnp.int32)
+    idx = jnp.take_along_axis(compacted, targets, axis=-1)
+    idx = jnp.where(idx >= hw, 0, idx)                       # all-invalid
     pcl = jnp.take_along_axis(xyz_nl, idx[..., None], axis=1)
     any_valid = jnp.any(valid, axis=-1)[:, None, None]
     return jnp.where(any_valid, pcl, 0.0)

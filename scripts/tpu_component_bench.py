@@ -40,8 +40,12 @@ def timed(name, fn, *args):
     def chained(x0, *rest):
         def step(x, _):
             out = fn(x, *rest)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return x + leaf.sum().astype(x.dtype) * jnp.asarray(
+            # chain on ALL outputs — chaining one leaf lets XLA DCE the
+            # rest inside the loop (observed: 6x under-measurement)
+            s = sum(l.sum().astype(jnp.float32)
+                    for l in jax.tree_util.tree_leaves(out)
+                    if jnp.issubdtype(l.dtype, jnp.floating))
+            return x + s.astype(x.dtype) * jnp.asarray(
                 1e-24, x.dtype), ()
         final, _ = jax.lax.scan(step, x0, None, length=ITERS)
         out = fn(final, *rest)
