@@ -143,6 +143,26 @@ def _measure(batch_size, cfg):
     return chained_fps, blocking_fps, flops_per_frame
 
 
+def _kernel_flops_per_frame(cfg):
+    """Analytic FLOPs of the Pallas custom calls per frame — XLA's
+    cost_analysis() cannot see inside custom calls, so without this the
+    implied MFU silently drops when work moves into kernels.
+    Shapes: N=point_num, M=N+J support, Mp its 128-pad, C=128, J joints,
+    HW=1024 (32x32 feature maps), K_samp feature channels 2C+J."""
+    j = cfg.joint_num
+    n = cfg.point_num
+    c = 128
+    mp = -(-(n + j) // 128) * 128
+    hw = 1024
+    c_samp = 2 * c + j
+    # sampler kernel: w@feat + the ones-normalizer matmul
+    sampler = n * hw * (c_samp + 128) * 2
+    # DESA kernel (x2 blocks): per scale — two [C,C]x[C,Mp] linear-term
+    # dots + J per-joint [C,C]x[C,Mp] MLP dots (+ rank/fusion, minor)
+    desa = 2 * (3 * (2 + j) * c * c * mp * 2)
+    return (sampler + desa) / 1e9
+
+
 def _measure_streaming(cfg, batch_size=64, n_batches=40, depth=8):
     """Full-pipeline streaming throughput: uint16/uint8 FULL frames in,
     world-mm joints out, on-device preprocessing included, double-buffered
@@ -239,7 +259,10 @@ def main():
     train_ms64, train_sps64 = _measure_training(64, tcfg)
     train_ms256, train_sps256 = _measure_training(256, tcfg, steps=4)
 
+    kernel_gf = _kernel_flops_per_frame(cfg)
+    total_gf = flops_frame / 1e9 + kernel_gf
     mfu = (flops_frame * fps256 / peak) if peak else None
+    mfu_total = (total_gf * 1e9 * fps256 / peak) if peak else None
     print(json.dumps({
         "metric": "rgbd_frames_per_sec_per_chip_bs256",
         "value": round(fps256, 1),
@@ -248,7 +271,10 @@ def main():
         "method": f"one dispatch of a {ITERS}-step data-dependent scan",
         "device_kind": device_kind,
         "flops_per_frame_gflop": round(flops_frame / 1e9, 3),
+        "kernel_flops_per_frame_gflop": round(kernel_gf, 3),
         "implied_mfu": round(mfu, 4) if mfu is not None else None,
+        "implied_mfu_incl_kernels": round(mfu_total, 4)
+        if mfu_total is not None else None,
         "peak_bf16_flops": peak,
         "bs256_blocking_fps": round(fps256_blocking, 1),
         "bs64_chained_fps": round(fps64, 1),
