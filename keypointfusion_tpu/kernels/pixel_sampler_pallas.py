@@ -171,13 +171,13 @@ def sample_pixel_features_fused(pcl_xyz, img_xyz, flat_feat, k: int = 4,
     kernel = functools.partial(_kernel, k=k, hw_real=hw,
                                feat_precision=prec,
                                exact_ties=(feat_precision == 'highest'))
-    # block the point axis: a full [N,HW] f32 distance field plus its
-    # selection temporaries exceeds the 16 MB VMEM budget at N=1024.
-    # 512-row blocks fit in serving mode (bf16 features) and halve the
-    # per-step fixed costs; the exact mode's extra f32 temporaries need
-    # 256-row blocks.
+    # block the point axis: a full [N,HW] f32 distance field plus the
+    # exact mode's selection temporaries exceeds the 16 MB VMEM budget at
+    # N=1024. Serving mode's threshold selection + bf16 features hold few
+    # enough temporaries to run unblocked (one grid step per element);
+    # the exact mode's extra f32 temporaries need 256-row blocks.
     if feat_precision != 'highest' and n % 512 == 0:
-        bn = 512
+        bn = 1024 if n % 1024 == 0 else 512
     elif n % 256 == 0:
         bn = 256
     else:
