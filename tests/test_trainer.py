@@ -75,3 +75,29 @@ def test_evaluation_dump(trainer, tmp_path):
     joints, meshes = json.load(open(out))
     assert len(joints) == 4 and np.asarray(joints[0]).shape == (21, 3)
     assert np.asarray(meshes[0]).shape == (778, 3)
+
+
+def test_legacy_checkpoint_restores_with_default_scheduler_state(
+        trainer, tmp_path):
+    """A pre-round-3 checkpoint (no lr_scale/min_error/plateau keys) must
+    still restore, default-filling the scheduler state (the Checkpointer's
+    fallback path)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    legacy = {'params': trainer.state.params,
+              'batch_stats': trainer.state.batch_stats,
+              'opt_state': trainer.state.opt_state,
+              'step': trainer.state.step,
+              'epoch': jnp.asarray(3)}
+    ckptr = ocp.StandardCheckpointer()
+    path = str(tmp_path / 'legacy')
+    ckptr.save(path, legacy, force=True)
+    ckptr.wait_until_finished()
+
+    from keypointfusion_tpu.training.trainer import Checkpointer
+    ck = Checkpointer(str(tmp_path))
+    state, epoch, min_error, plateau = ck.restore('legacy', trainer.state)
+    assert epoch == 3
+    assert float(state.lr_scale) == 1.0
+    assert min_error == float(np.finfo(np.float32).max)
+    assert plateau == 0
