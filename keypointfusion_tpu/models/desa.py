@@ -28,7 +28,9 @@ import flax.linen as nn
 
 from keypointfusion_tpu.models.norm import WeightedTorchBatchNorm
 
-from keypointfusion_tpu.ops.ball_query import ball_query_group, group_features
+from keypointfusion_tpu.ops.ball_query import (
+    ball_query_group_matmul, group_features_matmul,
+)
 from keypointfusion_tpu.ops.pairwise import pairwise_sqdist
 from keypointfusion_tpu.models.resnet import conv_init
 
@@ -136,9 +138,13 @@ class DESA(nn.Module):
                 fn = dense_f(node_feat)
                 feat = fs[:, None] - fn[:, :, None] + zf[:, :, None]
             else:
-                idx, valid, rel_xyz = ball_query_group(
+                # one-hot einsum grouping (ops/ball_query.py): top_k
+                # lowers to a sort and gathers scatter in the backward —
+                # the matmul form measured 2x faster fwd and much faster
+                # bwd on TPU at training shapes
+                p, valid, rel_xyz = ball_query_group_matmul(
                     support_xyz, node_xyz, r, s, d2=d2)
-                grouped_feat = group_features(support_feat, idx)  # [B,J,S,C]
+                grouped_feat = group_features_matmul(support_feat, p)
                 loc = dense_l(rel_xyz / r)
                 feat = dense_f(grouped_feat - node_feat[:, :, None, :])
                 bn_w = None

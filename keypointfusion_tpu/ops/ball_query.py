@@ -83,3 +83,61 @@ def group_features(features, idx):
 
     features: [B, M, C]; idx: [B, J, S] → [B, J, S, C]."""
     return jax.vmap(lambda f, ii: f[ii])(features, idx)
+
+
+def ball_query_group_matmul(pcl_xyz, query_xyz, radius: float,
+                            num_samples: int, d2=None):
+    """ball_query_group with the selection and grouping mapped to the MXU.
+
+    Same semantics and return convention as `ball_query_group` but instead
+    of (top_k, gathers) it builds a one-hot scatter tensor
+    P[b,j,s,m] = [point m fills slot s of joint j's group] from a
+    cumsum-rank (first-S-in-ball, CUDA duplicate-fill, closest-point
+    fallback) and computes the grouped tensors as einsums. On TPU this is
+    the difference between ~4.4 ms/scale at bs=64 (top_k lowers to a sort;
+    gathers are scalar-ish; the gather BACKWARD is a scatter-add) and
+    matmul time — and the backward of an einsum is another einsum.
+
+    Returns (P [B,J,S,M] f32 one-hot (stop-gradient), valid [B,J,S] bool,
+    rel_xyz [B,J,S,3]). Use `group_features_matmul(features, P)` in place
+    of `group_features(features, idx)`.
+    """
+    if d2 is None:
+        d2 = pairwise_sqdist(query_xyz, pcl_xyz)
+    in_ball = d2 < (radius * radius)                          # [B,J,M]
+    ib = in_ball.astype(jnp.int32)
+    rank = jnp.cumsum(ib, -1) - ib                            # exclusive
+    sel = in_ball & (rank < num_samples)
+    k = jnp.sum(ib, -1, keepdims=True)                        # [B,J,1]
+    kc = jnp.minimum(k, num_samples)
+
+    # slot id per point: its in-ball rank when selected, else "no slot"
+    slot = jnp.where(sel, rank, num_samples)                  # [B,J,M]
+    iota_s = jnp.arange(num_samples, dtype=jnp.int32)
+    p_sel = (slot[:, :, None, :] == iota_s[None, None, :, None])
+    # CUDA duplicate-fill: slots >= k repeat the slot-0 point; empty balls
+    # (k == 0) put the closest point in every slot
+    first = sel & (rank == 0)                                 # [B,J,M]
+    closest = jax.nn.one_hot(jnp.argmin(d2, -1), d2.shape[-1],
+                             dtype=jnp.bool_)                 # [B,J,M]
+    fill = jnp.where(k > 0, first, closest)                   # [B,J,M]
+    p = jnp.where(iota_s[None, None, :, None] < kc[..., None],
+                  p_sel, fill[:, :, None, :]).astype(jnp.float32)
+    p = jax.lax.stop_gradient(p)
+
+    valid = (iota_s[None, None, :] < kc) | (iota_s == 0)[None, None, :]
+    grouped_xyz = jnp.einsum('bjsm,bmd->bjsd', p, pcl_xyz,
+                             precision=jax.lax.Precision.HIGHEST)
+    rel_xyz = grouped_xyz - query_xyz[:, :, None, :]
+    return p, valid, rel_xyz
+
+
+def group_features_matmul(features, p):
+    """Grouped features via the one-hot einsum: features [B,M,C],
+    p [B,J,S,M] → [B,J,S,C]. Exact (one nonzero 0/1 product per output);
+    the backward w.r.t. features is the transposed einsum — a matmul, not
+    a scatter."""
+    return jnp.einsum('bjsm,bmc->bjsc', p,
+                      features.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST
+                      ).astype(features.dtype)
