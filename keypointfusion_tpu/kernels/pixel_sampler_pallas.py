@@ -48,7 +48,7 @@ def _pad_lanes(x, mult: int = 128):
 
 
 def _kernel(pcl_ref, img_xyzT_ref, feat_ref, out_ref, *, k, hw_real,
-            feat_precision, exact_ties):
+            feat_precision, exact_ties, ones_col=None):
     px = pcl_ref[0]                                         # [N, 128]
     ix = img_xyzT_ref[0]                                    # [128, HW]
     if exact_ties:
@@ -82,7 +82,8 @@ def _kernel(pcl_ref, img_xyzT_ref, feat_ref, out_ref, *, k, hw_real,
             diff = pc - xc
             d2 = d2 + diff * diff
     lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    d2 = jnp.where(lane < hw_real, d2, jnp.float32(BIG))
+    if hw_real < d2.shape[1]:  # no mask pass when HW is already tile-sized
+        d2 = jnp.where(lane < hw_real, d2, jnp.float32(BIG))
 
     # k smallest per row. Full-row lane reductions are the kernel's real
     # cost (each min over 1024 lanes is a multi-step shuffle cascade), so
@@ -96,8 +97,8 @@ def _kernel(pcl_ref, img_xyzT_ref, feat_ref, out_ref, *, k, hw_real,
     #    normalization; selection differs from top_k only on exact ties).
     # f32 masks throughout (Mosaic rejects selects on narrow vectors, see
     # desa_dense_pallas.py).
-    inv = 1.0 / (d2 + jnp.float32(1e-8))
     if exact_ties:
+        inv = 1.0 / (d2 + jnp.float32(1e-8))
         lane_f = lane.astype(jnp.float32)
         t = d2
         sel = jnp.zeros_like(d2)
@@ -111,29 +112,47 @@ def _kernel(pcl_ref, img_xyzT_ref, feat_ref, out_ref, *, k, hw_real,
             sel = sel + pick
             t = t + pick * jnp.float32(BIG)
         w = sel * inv
-    else:
-        t = d2
-        thresh = jnp.zeros((d2.shape[0], 1), jnp.float32)
-        for _ in range(k):
-            thresh = jnp.min(t, axis=1, keepdims=True)
-            t = jnp.where(t <= thresh, jnp.float32(BIG), t)
-        w = jnp.where(d2 <= thresh, inv, 0.0)
 
-    # normalization sum via an MXU ones-matmul instead of another
-    # full-row lane reduction; all 128 result columns are identical.
-    # Weights are cast to the feat dtype FIRST so the normalizer sums
-    # exactly the values the sampling dot multiplies.
+        # normalization sum via an MXU ones-matmul instead of another
+        # full-row lane reduction; all 128 result columns are identical.
+        # Weights are cast to the feat dtype FIRST so the normalizer sums
+        # exactly the values the sampling dot multiplies.
+        wc = w.astype(feat_ref.dtype)
+        ones = jnp.ones((d2.shape[1], 128), feat_ref.dtype)
+        sumw = jax.lax.dot_general(
+            wc, ones, (((1,), (0,)), ((), ())),
+            precision=feat_precision,
+            preferred_element_type=jnp.float32)            # [BN, 128]
+        denom = jnp.mean(sumw, axis=1, keepdims=True) + jnp.float32(1e-8)
+        res = jax.lax.dot_general(
+            wc, feat_ref[0], (((1,), (0,)), ((), ())),
+            precision=feat_precision,
+            preferred_element_type=jnp.float32)
+        out_ref[0] = (res / denom).astype(out_ref.dtype)
+        return
+
+    # serving: the kernel is bound by full [N,HW] VPU passes, not the
+    # MXU, so every sweep recomputes from d2 with the where fused into
+    # the min-reduction — nothing but d2 itself is ever materialized.
+    # m_{i+1} = min{d2 : d2 > m_i}  (same admit-all-boundary-ties
+    # semantics as the masked-update form this replaces).
+    thresh = jnp.min(d2, axis=1, keepdims=True)
+    for _ in range(k - 1):
+        thresh = jnp.min(
+            jnp.where(d2 <= thresh, jnp.float32(BIG), d2),
+            axis=1, keepdims=True)
+    w = jnp.where(d2 <= thresh, 1.0 / (d2 + jnp.float32(1e-8)), 0.0)
+    # ONE sampling matmul: the wrapper wrote a 1.0s column into feat's
+    # channel-pad region (ones_col), so the normalizer arrives as that
+    # column of the product — no second [N,HW]-reading matmul.
     wc = w.astype(feat_ref.dtype)
-    ones = jnp.ones((d2.shape[1], 128), feat_ref.dtype)
-    sumw = jax.lax.dot_general(
-        wc, ones, (((1,), (0,)), ((), ())),
-        precision=feat_precision,
-        preferred_element_type=jnp.float32)                # [BN, 128]
-    denom = jnp.mean(sumw, axis=1, keepdims=True) + jnp.float32(1e-8)
     res = jax.lax.dot_general(
         wc, feat_ref[0], (((1,), (0,)), ((), ())),
         precision=feat_precision,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)                # [BN, Cp]
+    csel = jax.lax.broadcasted_iota(jnp.int32, res.shape, 1)
+    denom = jnp.sum(jnp.where(csel == ones_col, res, 0.0), axis=1,
+                    keepdims=True) + jnp.float32(1e-8)
     out_ref[0] = (res / denom).astype(out_ref.dtype)
 
 
@@ -153,24 +172,32 @@ def sample_pixel_features_fused(pcl_xyz, img_xyz, flat_feat, k: int = 4,
     b, n, _ = pcl_xyz.shape
     hw = img_xyz.shape[1]
     c = flat_feat.shape[-1]
-    cp = -(-c // 128) * 128
+    exact = feat_precision == 'highest'
+    # serving needs one spare channel column for the fused normalizer
+    cp = -(-c // 128) * 128 if exact else -(-(c + 1) // 128) * 128
     hwp = -(-hw // 128) * 128
 
     px = _pad_lanes(pcl_xyz.astype(jnp.float32))            # [B,N,128]
     ixT = _pad_lanes(_pad_lanes(
         img_xyz.astype(jnp.float32)).transpose(0, 2, 1), 128)  # [B,128,HWp]
     # f32 features only for the exact path; the serving dot is bf16 anyway
-    feat_dtype = jnp.float32 if feat_precision == 'highest' \
-        else jnp.bfloat16
-    feat = _pad_lanes(flat_feat.astype(feat_dtype))         # [B,HW,Cp]
+    feat_dtype = jnp.float32 if exact else jnp.bfloat16
+    feat = flat_feat.astype(feat_dtype)
+    if not exact:
+        # ones column in the pad region: the sampling matmul then emits
+        # each row's weight sum at this column (padded HW rows carry 0 so
+        # they never contribute — their d2 is BIG, w=0, anyway)
+        feat = jnp.concatenate(
+            [feat, jnp.ones((b, hw, 1), feat_dtype)], axis=-1)
+    feat = _pad_lanes(feat)                                 # [B,HW,Cp]
     if hwp != hw:
         feat = jnp.pad(feat, ((0, 0), (0, hwp - hw), (0, 0)))
 
     prec = {'default': jax.lax.Precision.DEFAULT,
             'highest': jax.lax.Precision.HIGHEST}[feat_precision]
     kernel = functools.partial(_kernel, k=k, hw_real=hw,
-                               feat_precision=prec,
-                               exact_ties=(feat_precision == 'highest'))
+                               feat_precision=prec, exact_ties=exact,
+                               ones_col=None if exact else c)
     # block the point axis: a full [N,HW] f32 distance field plus the
     # exact mode's selection temporaries exceeds the 16 MB VMEM budget at
     # N=1024. Serving mode's threshold selection + bf16 features hold few
