@@ -87,7 +87,6 @@ def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
     jp = out_ref.shape[-1]
     mp = d2.shape[-1]
     jrow = jax.lax.broadcasted_iota(jnp.int32, (1, jp), 1)       # [1, Jp]
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (d2.shape[0], 1), 0)
     supfT = supfT_ref[0]                                   # [C, Mp]
     # MLP compute dtype: explicit bf16 operands in serving mode guarantee
     # single-pass MXU dots (f32 operands can lower to multi-pass bf16
@@ -142,15 +141,19 @@ def _kernel(sup_xyzT_ref, node_rows_ref, supfT_ref, wfT_ref, wlT_ref,
         acc = jnp.zeros((a.shape[0], jp), jnp.float32)
         for j in range(j_real):                            # static unroll
             oh_row = jnp.where(jrow == j, 1.0, 0.0)        # [1, Jp]
-            oh_col = jnp.where(jcol == j, 1.0, 0.0)        # [Jp, 1]
             bj = jnp.sum(bv * oh_row, axis=1, keepdims=True)   # [C, 1]
             h1 = jnp.maximum(a - bj, 0.0)                  # [C, Mp]
             h2 = jnp.dot(w2, h1.astype(cdt), precision=mlp_precision,
                          preferred_element_type=jnp.float32)
             h2 = jnp.maximum(h2 + b2col, 0.0)
-            mrow = jnp.sum(maskf * oh_col, axis=0, keepdims=True)  # [1,Mp]
-            h2 = jnp.where(mrow > 0, h2, jnp.float32(NEG))
-            col = jnp.max(h2, axis=1, keepdims=True)       # [C, 1]
+            # static SUBLANE row slice (lane slices are the Mosaic
+            # hazard, row slices lower fine) instead of a one-hot
+            # reduction over the whole [Jp,Mp] mask per joint, and a
+            # multiply-mask max instead of a where(NEG): h2 >= 0 after
+            # the relu and the closest-point fallback guarantees a
+            # non-empty mask row, so max(h2*mask) == maskedmax exactly
+            mrow = maskf[j:j + 1, :]                       # [1, Mp]
+            col = jnp.max(h2 * mrow, axis=1, keepdims=True)  # [C, 1]
             acc = acc + col * oh_row                       # outer product
         scale_accs.append(acc)
 
