@@ -55,3 +55,23 @@ def test_sampler_serving_mode_close_to_exact():
     rel = np.abs(hi - lo).max() / max(np.abs(hi).max(), 1e-9)
     assert rel < 0.02, rel
     assert lo.dtype == np.float32     # cast on exit, bf16 inside
+
+
+def test_sampler_serving_mode_tile_aligned_channels():
+    """c % 128 == 0: the serving normalizer's ones column must force an
+    extra lane tile rather than overwrite a real channel."""
+    b, n, hw, c = 2, 256, 1024, 128
+    rng = np.random.RandomState(2)
+    pcl = jnp.asarray(rng.uniform(-.9, .9, (b, n, 3)).astype(np.float32))
+    img_xyz = jnp.asarray(rng.uniform(-1, 1, (b, hw, 3)
+                                      ).astype(np.float32))
+    feat = jnp.asarray(rng.randn(b, hw, c).astype(np.float32))
+    hi = np.asarray(sample_pixel_features_fused(
+        pcl, img_xyz, feat, k=4, interpret=True,
+        feat_precision='highest')).astype(np.float32)
+    lo = np.asarray(sample_pixel_features_fused(
+        pcl, img_xyz, feat, k=4, interpret=True,
+        feat_precision='default')).astype(np.float32)
+    assert lo.shape == (b, n, c)
+    rel = np.abs(hi - lo).max() / max(np.abs(hi).max(), 1e-9)
+    assert rel < 0.02, rel
