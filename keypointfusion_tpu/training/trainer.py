@@ -106,11 +106,18 @@ class Checkpointer:
         try:
             restored = self.ckptr.restore(path, target)
         except Exception:
-            # pre-round-3 checkpoint without the scheduler fields
+            # pre-round-3 checkpoint without the scheduler fields:
+            # default-fill FRESH scheduler state (base lr, no plateau
+            # history) — the caller's template may carry a decayed
+            # lr_scale that must not leak into the restored run
             legacy = {k: target[k] for k in
                       ('params', 'batch_stats', 'opt_state', 'step',
                        'epoch')}
-            restored = dict(target, **self.ckptr.restore(path, legacy))
+            restored = dict(self.ckptr.restore(path, legacy),
+                            lr_scale=jnp.asarray(1.0, jnp.float32),
+                            min_error=jnp.asarray(
+                                np.finfo(np.float32).max),
+                            plateau=jnp.asarray(0))
         new_state = state.replace(
             params=restored['params'], batch_stats=restored['batch_stats'],
             opt_state=restored['opt_state'], step=restored['step'],
