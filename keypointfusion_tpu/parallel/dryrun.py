@@ -35,6 +35,10 @@ def run(n_devices: int) -> None:
     import jax
     jax.config.update('jax_platforms', 'cpu')
 
+    from keypointfusion_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -69,6 +73,27 @@ def run(n_devices: int) -> None:
         mode = 'sync-BN/jit' if sync_bn else 'per-shard-BN/shard_map'
         print(f"dryrun_multichip({n_devices}) [{mode}]: ok, "
               f"loss={loss:.4f}", flush=True)
+
+    # multi-chip SERVING: the whole streaming pipeline (on-device
+    # preprocessing + forward) jitted with batch-sharded inputs and
+    # replicated params over the same mesh (serving.py `mesh=`).
+    from keypointfusion_tpu.serving import StreamingEngine
+    bs = max(n_devices, 2)
+    eng = StreamingEngine(Config(phase='test', point_num=128),
+                          batch_size=bs, img_hw=(120, 160), mesh=mesh)
+    rng_np = np.random.RandomState(0)
+    depth = np.zeros((bs, 120, 160), np.uint16)
+    depth[:, 40:80, 60:100] = rng_np.randint(
+        500, 700, (bs, 40, 40)).astype(np.uint16)
+    out = eng.submit(
+        depth, rng_np.randint(0, 255, (bs, 120, 160, 3)).astype(np.uint8),
+        np.tile(np.array([[80, 60, 600]], np.float32), (bs, 1)),
+        np.full((bs, 3), 250, np.float32),
+        np.tile(np.array([[150, 150, 80, 60]], np.float32), (bs, 1)))
+    packed = np.asarray(out)
+    assert np.isfinite(packed).all(), "non-finite serving output"
+    print(f"dryrun_multichip({n_devices}) [serving/SPMD]: ok, "
+          f"out={packed.shape}", flush=True)
 
 
 if __name__ == '__main__':

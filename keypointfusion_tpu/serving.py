@@ -31,12 +31,25 @@ class StreamingEngine:
                  batch_size: int = 64, img_hw=(480, 640),
                  dtype=jnp.bfloat16, use_pallas_desa: bool = False,
                  use_pallas_sampler: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 mesh=None):
         """use_pallas_desa routes the eval-path DESA through the
         whole-DESA fused Pallas kernel (kernels/desa_dense_pallas.py);
         use_pallas_sampler fuses the point->pixel sampling
         (kernels/pixel_sampler_pallas.py) — both are the serving-mode
-        defaults in bench.py (see docs/DESIGN.md)."""
+        defaults in bench.py (see docs/DESIGN.md).
+
+        mesh: optional jax.sharding.Mesh for multi-chip serving — the
+        whole pipeline (preprocessing + forward) runs SPMD with the batch
+        sharded over the mesh's first axis and params replicated; XLA
+        partitions every op and no collectives are needed on this purely
+        batch-parallel path (the serving counterpart of the training
+        mesh in training/train_step.py). batch_size must be divisible by
+        the mesh size."""
+        if mesh is not None and batch_size % mesh.devices.size:
+            raise ValueError(
+                f'batch_size {batch_size} not divisible by mesh size '
+                f'{mesh.devices.size}')
         self.cfg = cfg
         self.batch_size = batch_size
         self.img_hw = img_hw
@@ -90,7 +103,21 @@ class StreamingEngine:
                  frame.M.reshape(b, -1).astype(jnp.float32)], axis=-1)
 
         self._joint_num = j
-        self._pipeline = jax.jit(pipeline)
+        self._mesh = mesh
+        if mesh is None:
+            self._pipeline = jax.jit(pipeline)
+        else:
+            from keypointfusion_tpu.parallel.mesh import (
+                batch_sharding, replicated_sharding,
+            )
+            bsh = batch_sharding(mesh)
+            rsh = replicated_sharding(mesh)
+            # variables + rng key replicated, every [B,...] input and the
+            # packed output batch-sharded
+            self._pipeline = jax.jit(
+                pipeline,
+                in_shardings=(rsh, bsh, bsh, bsh, bsh, bsh, rsh),
+                out_shardings=bsh)
         self._key = jax.random.PRNGKey(cfg.seed)
 
     def submit(self, depth_full: np.ndarray, rgb_full: np.ndarray,
