@@ -17,6 +17,13 @@ def resize_nearest_torch(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     oh, ow = (out_hw, out_hw) if isinstance(out_hw, int) else out_hw
     if (oh, ow) == (h, w):
         return x
+    if h % oh == 0 and w % ow == 0:
+        # integer downsample: floor(dst*in/out) == dst*(in/out) exactly, so
+        # the gather is a strided slice — identical indices, but the slice
+        # lowers to a fast TPU op while the equivalent constant-index
+        # gather measured ~12 ms/batch at [256,128,128] when XLA's gather
+        # simplifier didn't fire
+        return x[:, ::h // oh, ::w // ow]
     idx_h = (jnp.arange(oh) * h) // oh
     idx_w = (jnp.arange(ow) * w) // ow
     return x[:, idx_h][:, :, idx_w]
