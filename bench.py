@@ -30,7 +30,12 @@ import time
 import numpy as np
 
 BASELINE_FPS = 3000.0
-ITERS = 30
+# 120 chained iterations: the single host fetch that stops the clock costs
+# a full ~25 ms tunnel round trip; at 30 iterations that RTT deflated the
+# per-batch figure by ~1.2 ms/batch (measured: a trivial [256,21,3] mul
+# "cost" 1.2 ms/step in a 20-step chain). 120 steps amortize it to ~0.2 ms
+# — the chain is still data-dependent and fetch-waited, unchanged.
+ITERS = 120
 
 # bf16 dense peak FLOP/s by libtpu device_kind (public spec sheets).
 PEAK_BF16_FLOPS = {

@@ -24,7 +24,7 @@ from keypointfusion_tpu.models.kpfusion import KPFusion
 from keypointfusion_tpu.training.train_step import frame_from_batch
 
 B = 256
-ITERS = 20
+ITERS = 100  # high count: the single ~25 ms fetch RTT amortizes to ~0.25 ms
 cfg = Config()
 print("device:", jax.devices()[0].device_kind, flush=True)
 

@@ -26,7 +26,7 @@ from keypointfusion_tpu.ops.resize import resize_nearest_torch
 from keypointfusion_tpu.training.train_step import frame_from_batch
 
 B, J = 256, 21
-ITERS = 20
+ITERS = 100
 cfg = Config()
 print("device:", jax.devices()[0].device_kind, flush=True)
 
