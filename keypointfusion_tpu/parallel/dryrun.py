@@ -27,6 +27,13 @@ def _force_cpu(n_devices: int) -> None:
     flags = [f for f in os.environ.get('XLA_FLAGS', '').split()
              if 'xla_force_host_platform_device_count' not in f]
     flags.append(f'--xla_force_host_platform_device_count={n_devices}')
+    # On a CPU-starved host the N virtual devices' collective threads can
+    # miss XLA's default 40s rendezvous budget, which CHECK-fails and
+    # SIGABRTs the process (observed on a 1-core box while a second module
+    # compiled). Give them an hour.
+    if not any('collective_call_terminate_timeout' in f for f in flags):
+        flags += ['--xla_cpu_collective_call_warn_stuck_timeout_seconds=120',
+                  '--xla_cpu_collective_call_terminate_timeout_seconds=3600']
     os.environ['XLA_FLAGS'] = ' '.join(flags)
 
 

@@ -64,13 +64,29 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
     sched = make_lr_schedule(cfg, steps_per_epoch)
     if cfg.opt == 'adamw':
         # torch AdamW defaults: betas (0.9, 0.999), eps 1e-8, wd 0.01
-        return optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
-                           weight_decay=0.01)
-    if cfg.opt == 'adam':
-        return optax.adam(sched)
-    if cfg.opt == 'sgd':
-        return optax.sgd(sched, momentum=0.9)
-    raise ValueError(cfg.opt)
+        tx = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=0.01)
+    elif cfg.opt == 'adam':
+        tx = optax.adam(sched)
+    elif cfg.opt == 'sgd':
+        tx = optax.sgd(sched, momentum=0.9)
+    else:
+        raise ValueError(cfg.opt)
+    # Run the update on ONE raveled vector instead of ~230 leaves: the
+    # per-leaf unroll was 16.7k of the train step's 39k jaxpr eqns (43% of
+    # trace+compile time; minutes on the CPU test mesh, and real seconds on
+    # the TPU compile path). Elementwise optimizers are exact under
+    # ravel/unravel — same per-element math, torch-AdamW parity tests
+    # unaffected. Costs one concatenate + split per step (bandwidth-only,
+    # fused by XLA).
+    return optax.flatten(tx)
+
+
+# jitted-init cache: jax.jit caches on function identity, and model.init
+# is a fresh bound method per KPFusion instance — without this, a second
+# create_train_state with the same config recompiles the whole init
+# (~2.5 min on the CPU test mesh).
+_INIT_CACHE: Dict[tuple, Callable] = {}
 
 
 def create_train_state(cfg: Config, rng, sample_batch,
@@ -87,7 +103,14 @@ def create_train_state(cfg: Config, rng, sample_batch,
     frame = frame_from_batch(sample_batch, cfg)
     # jitted init: eager flax init issues thousands of tiny dispatches,
     # which takes minutes over the remote-TPU link
-    variables = jax.jit(model.init)(
+    # (the cached closure keeps the first model instance for a given key;
+    # init is pure given the config, so any same-key instance is identical)
+    key = (cfg.net, cfg.joint_num, str(dtype), str(backbone_dtype),
+           cfg.fast_topk)
+    if key not in _INIT_CACHE:
+        _INIT_CACHE[key] = jax.jit(
+            lambda r, rgb, depth, pcl, fr: model.init(r, rgb, depth, pcl, fr))
+    variables = _INIT_CACHE[key](
         rng, sample_batch['rgb'], sample_batch['depth'],
         sample_batch['pcl'], frame)
     tx = make_optimizer(cfg, steps_per_epoch)

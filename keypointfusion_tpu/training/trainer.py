@@ -69,7 +69,12 @@ class MetricsLogger:
 
 
 class Checkpointer:
-    """Orbax best/latest checkpoints of the full train state."""
+    """Orbax best/latest checkpoints of the full train state.
+
+    Note: opt_state is the optax.flatten'd layout (moments as single
+    raveled vectors — see make_optimizer); checkpoints written before that
+    change carry per-leaf moment trees and would need a one-off ravel to
+    restore (none exist in practice)."""
 
     def __init__(self, ckpt_dir: str):
         import orbax.checkpoint as ocp

@@ -10,8 +10,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA CPU kills the PROCESS (CHECK-fail -> SIGABRT) when the 8 virtual
+# devices' collective threads don't all reach a rendezvous within 40s —
+# routine on this single-core box when a compile hogs the core mid-suite
+# (one observed suite run died exactly this way). Raise the budget.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
