@@ -105,6 +105,14 @@ class Config:
     # (bs=256 no longer needs it: the dense pixel sampler recomputes its
     # [B,N,HW] weight matrix in the backward — geometry/pcl.py)
     remat: bool = False
+    # train steps fused into one device dispatch via lax.scan
+    # (train_step.make_train_step_scan): per-step dispatch is host-latency
+    # bound (~23 ms of the 56 ms python-loop step over the remote tunnel,
+    # artifacts/train_profile_r04_bs64.json); G>1 amortizes it away. Same
+    # ops/rng stream as G single steps (bitwise only up to XLA's
+    # per-executable fusion rounding — see test_resume_equivalence).
+    # 1 = classic per-step dispatch.
+    steps_per_dispatch: int = 1
 
     @property
     def joint_num(self) -> int:

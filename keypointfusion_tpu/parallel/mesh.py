@@ -43,6 +43,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh, axis: str = None) -> NamedSharding:
+    """Sharding for [G, B, ...] step-stacked batches (make_train_step_scan):
+    the scan axis G is unsharded, the batch axis B sharded over the mesh."""
+    return NamedSharding(mesh, P(None, axis or mesh.axis_names[0]))
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = None):
     """Place every [B, ...] array in the pytree with its batch dim sharded
     over the mesh."""

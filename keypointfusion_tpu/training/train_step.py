@@ -132,23 +132,20 @@ def frame_from_batch(batch: Dict[str, jnp.ndarray], cfg: Config) -> CropFrame:
                                 img_size=cfg.input_size)
 
 
-def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
-    """Returns train_step(state, batch, rng, epoch) -> (state, metrics).
+def _check_state(state):
+    # tx/model default to None structurally (they sit after lr_scale's
+    # default) — fail loudly at first step, not with an opaque
+    # AttributeError deep inside the trace
+    if state.tx is None or state.model is None:
+        raise ValueError(
+            'TrainState.tx/model are unset — construct the state with '
+            'create_train_state (or pass tx=/model= explicitly)')
 
-    batch: dict of [B,...] arrays (rgb, depth NHWC; pcl; xyz_gt; uvd_gt;
-    center; M; cube; cam_para). With a mesh, inputs are batch-sharded and
-    params replicated; XLA emits the ICI all-reduce for gradients.
-    """
+
+def _step_body(cfg: Config) -> Callable:
+    """The un-jitted single-step body: forward (both backbones + 2 KFAM
+    stages), loss assembly, backward, AdamW update, BN stat update."""
     kernel = cfg.feature_para[0]
-
-    def _check_state(state):
-        # tx/model default to None structurally (they sit after lr_scale's
-        # default) — fail loudly at first step, not with an opaque
-        # AttributeError deep inside the trace
-        if state.tx is None or state.model is None:
-            raise ValueError(
-                'TrainState.tx/model are unset — construct the state with '
-                'create_train_state (or pass tx=/model= explicitly)')
 
     def step_fn(state: TrainState, batch, rng, epoch):
         _check_state(state)
@@ -182,6 +179,18 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns train_step(state, batch, rng, epoch) -> (state, metrics).
+
+    batch: dict of [B,...] arrays (rgb, depth NHWC; pcl; xyz_gt; uvd_gt;
+    center; M; cube; cam_para). With a mesh, inputs are batch-sharded and
+    params replicated; XLA emits the ICI all-reduce for gradients.
+    """
+    step_fn = _step_body(cfg)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -197,18 +206,71 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
         donate_argnums=(0,))
 
 
-def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
-    """Per-shard BatchNorm training step via shard_map — exact parity with
-    the reference's torch.nn.DataParallel, which computes BN statistics per
-    GPU (SURVEY.md §5.8). Each shard runs forward/backward on its local
-    sub-batch with LOCAL batch stats; gradients and metrics are pmean'd
-    over the data axis; running stats are pmean'd (torch DP effectively
-    keeps only the master replica's — averaging is the less arbitrary
-    choice and identical in expectation)."""
-    from jax.sharding import PartitionSpec as P
+def make_train_step_scan(cfg: Config, mesh: Optional[Mesh] = None
+                         ) -> Callable:
+    """Returns train_scan(state, batches, rngs, epoch) -> (state, metrics).
 
+    batches: dict of [G, B, ...] arrays (G consecutive loader batches
+    stacked on a leading scan axis); rngs: [G] stacked PRNG keys. ONE
+    device dispatch executes all G optimizer steps via lax.scan, with the
+    same ops and rng stream as G make_train_step calls (bitwise only up to
+    XLA's per-executable fusion rounding — the scan body compiles
+    separately from the standalone step; see
+    tests/test_resume_equivalence.py). metrics leaves come back
+    stacked [G].
+
+    Why: per-step dispatch is host-latency-bound — on a remote-TPU tunnel
+    the measured python-loop step time is 55-120 ms while the device
+    compute is ~33 ms (artifacts/train_profile_r04_bs64.json); even on a
+    local host it costs ~100 us of host work per step. Chaining G steps in
+    one dispatch amortizes dispatch cost to nothing and lets the device
+    run back-to-back. The reference's torch loop has no equivalent (CUDA
+    streams hide some of this; XLA's answer is the scan).
+    """
+    step_fn = _step_body(cfg)
+
+    def scan_fn(state: TrainState, batches, rngs, epoch):
+        def body(st, xs):
+            b, r = xs
+            return step_fn(st, b, r, epoch)
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    if mesh is None:
+        return jax.jit(scan_fn, donate_argnums=(0,))
+
+    from keypointfusion_tpu.parallel.mesh import stacked_batch_sharding
+
+    if not cfg.sync_batchnorm:
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        local_step = _local_step_body(cfg, axis)
+
+        def local_scan(state: TrainState, batches, rngs, epoch):
+            def body(st, xs):
+                b, r = xs
+                return local_step(st, b, r, epoch)
+            return jax.lax.scan(body, state, (batches, rngs))
+
+        sharded = jax.shard_map(
+            local_scan, mesh=mesh,
+            in_specs=(P(), P(None, axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    bsh = stacked_batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+    return jax.jit(
+        scan_fn,
+        in_shardings=(rsh, bsh, rsh, rsh),
+        out_shardings=(rsh, rsh),
+        donate_argnums=(0,))
+
+
+def _local_step_body(cfg: Config, axis: str) -> Callable:
+    """Un-jitted per-shard-BN step body for use inside shard_map (exact
+    torch.nn.DataParallel parity — see _make_per_shard_bn_step)."""
     kernel = cfg.feature_para[0]
-    axis = mesh.axis_names[0]
 
     def local_step(state: TrainState, batch, rng, epoch):
         frame = frame_from_batch(batch, cfg)
@@ -245,6 +307,22 @@ def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, metrics
+
+    return local_step
+
+
+def _make_per_shard_bn_step(cfg: Config, mesh: Mesh) -> Callable:
+    """Per-shard BatchNorm training step via shard_map — exact parity with
+    the reference's torch.nn.DataParallel, which computes BN statistics per
+    GPU (SURVEY.md §5.8). Each shard runs forward/backward on its local
+    sub-batch with LOCAL batch stats; gradients and metrics are pmean'd
+    over the data axis; running stats are pmean'd (torch DP effectively
+    keeps only the master replica's — averaging is the less arbitrary
+    choice and identical in expectation)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    local_step = _local_step_body(cfg, axis)
 
     state_spec = P()
     batch_spec = P(axis)

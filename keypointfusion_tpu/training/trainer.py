@@ -37,7 +37,7 @@ from keypointfusion_tpu.training.metrics import (
 )
 from keypointfusion_tpu.training.train_step import (
     TrainState, create_train_state, frame_from_batch, make_train_step,
-    make_eval_step,
+    make_train_step_scan, make_eval_step,
 )
 
 MANO2HO3D = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
@@ -199,11 +199,18 @@ class Trainer:
                 if cfg.finetune_dir.endswith('.pth') \
                 else self.ckpt.restore_weights(cfg.finetune_dir, self.state)
         self.train_step = make_train_step(cfg, self.mesh)
+        # multi-step scan dispatch (cfg.steps_per_dispatch > 1): G loader
+        # batches stacked -> ONE device dispatch runs G optimizer steps,
+        # amortizing host/tunnel dispatch latency (make_train_step_scan)
+        self.train_scan = make_train_step_scan(cfg, self.mesh) \
+            if cfg.steps_per_dispatch > 1 else None
         self.eval_step = make_eval_step(cfg, self.mesh)
         self.min_error = float('inf')
         self.start_epoch = 0
         self.plateau_patience = 3   # scheduler='auto' epochs w/o improvement
         self._plateau = 0
+        # base key for the per-epoch rng streams (never mutated — train()
+        # folds the epoch in, keeping resume replay-exact)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
         if cfg.resume:
             self.resume('latest')
@@ -283,21 +290,26 @@ class Trainer:
                                  seed=cfg.seed + epoch)
             epoch_arr = jnp.asarray(epoch, jnp.int32)
             t0 = time.time()
-            metrics = None
-            # pre-split all step rngs: a per-step jax.random.split is an
-            # extra device dispatch that stalls pipelining on high-latency
-            # links (measured 2x step time through the remote tunnel)
-            step_rngs = jax.random.split(self._rng, len(loader) + 1)
-            self._rng = step_rngs[0]
-            for ii, batch in enumerate(device_prefetch(loader, sharding)):
-                self.state, metrics = self.train_step(
-                    self.state, batch, step_rngs[ii + 1], epoch_arr)
-                if ii % 50 == 0:
-                    step = int(jax.device_get(self.state.step))
-                    host = {k: float(v) for k, v in
-                            jax.device_get(metrics).items()}
-                    host['steps_per_sec'] = (ii + 1) / (time.time() - t0)
-                    self.logger.log(step, host)
+            # step rngs are a pure function of (seed, epoch): resuming at
+            # epoch k replays exactly the rng stream the straight run would
+            # have used (a carried, mutated key would silently diverge
+            # after a resume — see test_resume_equivalence). Pre-splitting
+            # the whole epoch also avoids a per-step jax.random.split
+            # dispatch that stalls pipelining on high-latency links
+            # (measured 2x step time through the remote tunnel).
+            step_rngs = jax.random.split(
+                jax.random.fold_in(self._rng, epoch), len(loader))
+            if self.train_scan is not None:
+                metrics = self._run_epoch_scan(loader, step_rngs,
+                                               epoch_arr, t0)
+            else:
+                metrics = None
+                for ii, batch in enumerate(device_prefetch(loader,
+                                                           sharding)):
+                    self.state, metrics = self.train_step(
+                        self.state, batch, step_rngs[ii], epoch_arr)
+                    if ii % 50 == 0:
+                        self._log_step(metrics, (ii + 1), t0)
 
             if self.test_data:
                 test_error = self.test(epoch)
@@ -329,6 +341,56 @@ class Trainer:
             logging.info('epoch %d done, test_error %.4f', epoch,
                          test_error)
         return self.min_error
+
+    def _log_step(self, metrics, steps_done: int, t0: float):
+        step = int(jax.device_get(self.state.step))
+        host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        host['steps_per_sec'] = steps_done / (time.time() - t0)
+        self.logger.log(step, host)
+
+    def _run_epoch_scan(self, loader, step_rngs, epoch_arr, t0):
+        """cfg.steps_per_dispatch > 1: stack G consecutive loader batches
+        on a leading scan axis and run them as ONE device dispatch
+        (train_step.make_train_step_scan — bit-identical math, same rng
+        stream as the per-step path). A trailing partial group falls back
+        to single steps."""
+        from keypointfusion_tpu.parallel.mesh import stacked_batch_sharding
+        cfg = self.cfg
+        G = cfg.steps_per_dispatch
+        ssh = stacked_batch_sharding(self.mesh) if self.mesh else None
+        bsh = batch_sharding(self.mesh) if self.mesh else None
+
+        tail = []   # trailing len(loader) % G batches -> single steps
+
+        def grouped():
+            group = []
+            for b in loader:
+                group.append(b)
+                if len(group) == G:
+                    yield {k: np.stack([g[k] for g in group])
+                           for k in group[0]}
+                    group = []
+            tail.extend(group)
+
+        metrics = None
+        steps_done = 0
+        log_every = max(1, 50 // G)
+        for gi, stacked in enumerate(device_prefetch(grouped(), ssh)):
+            rngs = step_rngs[steps_done:steps_done + G]
+            self.state, stacked_metrics = self.train_scan(
+                self.state, stacked, rngs, epoch_arr)
+            steps_done += G
+            metrics = jax.tree_util.tree_map(lambda x: x[-1],
+                                             stacked_metrics)
+            if gi % log_every == 0:
+                self._log_step(metrics, steps_done, t0)
+        for b in tail:
+            if bsh is not None:
+                b = jax.device_put(b, bsh)
+            self.state, metrics = self.train_step(
+                self.state, b, step_rngs[steps_done], epoch_arr)
+            steps_done += 1
+        return metrics
 
     # -------------------------------------------------------------- eval --
 
