@@ -13,10 +13,11 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from keypointfusion_tpu.config import Config
-from keypointfusion_tpu.geometry.camera import CropFrame
+from keypointfusion_tpu.geometry.camera import CropFrame, uvd_nl_to_xyz_nl
 from keypointfusion_tpu.ops.codecs import joint_to_heatmap
 from keypointfusion_tpu.ops.codecs_extra import (
     feature_to_joint, joint_to_feature,
@@ -35,6 +36,17 @@ def elementwise_loss(cfg: Config):
         return lambda pred, gt: jnp.mean((pred - gt) ** 2)
     raise NotImplementedError(
         f"loss_type={cfg.loss_type!r} (the reference defines no GHM loss)")
+
+
+def _stage_error_mm(pred_xyz, xyz_gt, frame: CropFrame) -> jnp.ndarray:
+    """Decoded per-stage train error in mm (reference train.py:228-249
+    xyz2error → writer.add_scalar('error_{index}')): mean over batch and
+    joints of the euclidean distance after cube/2 denormalization (the
+    center offset cancels in the difference). Telemetry only — gradients
+    are cut so this adds no backward cost."""
+    d = jax.lax.stop_gradient(pred_xyz - xyz_gt) \
+        * (frame.cube[:, None, :] / 2.0)
+    return jnp.mean(jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12))
 
 
 def compute_losses(results: Sequence[jnp.ndarray],
@@ -74,11 +86,15 @@ def compute_losses(results: Sequence[jnp.ndarray],
             total = total + loss_pixel + loss_coord
             metrics[f'loss_pixel_{index}'] = loss_pixel
             metrics[f'loss_coord_{index}'] = loss_coord
+            metrics[f'error_{index}'] = _stage_error_mm(
+                uvd_nl_to_xyz_nl(joint_uvd, frame), xyz_gt, frame)
         elif stage in (2, 3):  # KFAM xyz refinement
             joint_xyz = results[index]
             loss_coord = loss_fn(joint_xyz, xyz_gt) * cfg.coord_weight
             total = total + loss_coord
             metrics[f'loss_coord_{index}'] = loss_coord
+            metrics[f'error_{index}'] = _stage_error_mm(joint_xyz, xyz_gt,
+                                                        frame)
         # stage 0 (raw uvd output) gets NO loss, like the reference train
         # loop (train.py:213-240 has no branch for it)
 
