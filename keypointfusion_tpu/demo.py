@@ -95,10 +95,13 @@ class ModelRGBD:
                 variables = {'params': restored['params'],
                              'batch_stats': restored['batch_stats']}
         self.variables = variables
+        # variables is a jit ARGUMENT (not a closure capture): assigning
+        # model.variables = ... after construction takes effect on the next
+        # call instead of silently serving trace-time weights.
         self._forward = jax.jit(self._forward_impl)
 
-    def _forward_impl(self, rgb, depth, pcl, frame):
-        results, sw = self.model.apply(self.variables, rgb, depth, pcl,
+    def _forward_impl(self, variables, rgb, depth, pcl, frame):
+        results, sw = self.model.apply(variables, rgb, depth, pcl,
                                        frame, self.cfg.feature_para[0],
                                        False)
         return results
@@ -142,7 +145,7 @@ class ModelRGBD:
                 com3d[None].astype(np.float32), M[None].astype(np.float32),
                 cube[None], img_size=self.img_size)
 
-            results = self._forward(jnp.asarray(rgb_in),
+            results = self._forward(self.variables, jnp.asarray(rgb_in),
                                     jnp.asarray(depth_in),
                                     jnp.asarray(pcl_in), frame)
 

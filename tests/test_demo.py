@@ -17,6 +17,26 @@ def test_center_from_bbox():
     assert c2[2] == 300.0
 
 
+def test_variables_swap_takes_effect():
+    """demo.py passes variables as a jit ARGUMENT: assigning
+    model.variables after construction must change the next result (a
+    closure capture would silently keep serving trace-time weights)."""
+    import jax
+    rng = np.random.RandomState(0)
+    depth = np.zeros((480, 640), np.float32)
+    depth[200:300, 280:380] = rng.uniform(400, 600, (100, 100))
+    rgb = rng.randint(0, 255, (480, 640, 3)).astype(np.uint8)
+    inp = [{'rgb': rgb, 'depth': depth, 'bbox': [280, 200, 100, 100],
+            'hand_type': 'right'}]
+    cfg = Config(phase='test', point_num=256)
+    model = ModelRGBD(cfg, cam_para=(600., 600., 320., 240.))
+    _, out1 = model.estimate_pose_rgbd(inp)
+    model.variables = jax.tree_util.tree_map(
+        lambda x: x * 1.01, model.variables)
+    _, out2 = model.estimate_pose_rgbd(inp)
+    assert not np.allclose(out1[0]['joint_xyz'], out2[0]['joint_xyz'])
+
+
 def test_estimate_pose_rgbd_contract():
     rng = np.random.RandomState(0)
     depth = np.zeros((480, 640), np.float32)
