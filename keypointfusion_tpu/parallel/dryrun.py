@@ -102,6 +102,57 @@ def run(n_devices: int) -> None:
     print(f"dryrun_multichip({n_devices}) [serving/SPMD]: ok, "
           f"out={packed.shape}", flush=True)
 
+    # sharded EVAL + metric chain and an Orbax round trip of the
+    # mesh-placed TrainState — the two surfaces a real multi-chip run hits
+    # right after training (trainer.py:359-441 test(), Checkpointer).
+    import shutil
+    import tempfile
+
+    from keypointfusion_tpu.geometry.camera import uvd_nl_to_xyz_nl
+    from keypointfusion_tpu.training.metrics import (
+        pa_error_mm, xyz_to_error_mm)
+    from keypointfusion_tpu.training.train_step import (
+        frame_from_batch, make_eval_step)
+    from keypointfusion_tpu.training.trainer import Checkpointer
+
+    cfg = Config(sync_batchnorm=True)
+    state = create_train_state(cfg, rng, batch, steps_per_epoch=10)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    eval_step = make_eval_step(cfg, mesh)
+    results, _ = eval_step(state, shard_batch(batch, mesh))
+    frame = frame_from_batch(batch, cfg)
+    joint_xyz = results[-1]
+    err = np.asarray(xyz_to_error_mm(joint_xyz, batch['xyz_gt'],
+                                     batch['center'], batch['cube']))
+    pa = np.asarray(pa_error_mm(joint_xyz, batch['xyz_gt'],
+                                batch['center'], batch['cube']))
+    assert np.isfinite(err).all() and np.isfinite(pa).all(), (err, pa)
+    # the dense stage decodes on the mesh too (trainer._decode_stage)
+    from keypointfusion_tpu.ops.codecs_extra import feature_to_joint
+    joint_uvd0 = feature_to_joint(batch['depth'], results[0],
+                                  cfg.feature_type, cfg.feature_para,
+                                  joint_num=cfg.joint_num)
+    xyz0 = uvd_nl_to_xyz_nl(joint_uvd0, frame)
+    assert np.isfinite(np.asarray(xyz0)).all()
+
+    tmpdir = tempfile.mkdtemp(prefix='kpf_dryrun_ckpt_')
+    try:
+        ck = Checkpointer(tmpdir)
+        ck.save('latest', state, epoch=1, min_error=float(err.mean()),
+                plateau=0)
+        # fresh replicated template (as a restarted run would build)
+        state2 = create_train_state(cfg, rng, batch, steps_per_epoch=10)
+        state2 = jax.device_put(state2, replicated_sharding(mesh))
+        restored, epoch, min_err, plateau = ck.restore('latest', state2)
+        assert epoch == 1 and plateau == 0
+        p0 = jax.tree_util.tree_leaves(state.params)[0]
+        p1 = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    print(f"dryrun_multichip({n_devices}) [eval+ckpt]: ok, "
+          f"err={err.mean():.2f}mm pa={pa.mean():.2f}mm", flush=True)
+
 
 if __name__ == '__main__':
     run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
