@@ -35,10 +35,13 @@ from keypointfusion_tpu.training.train_step import (
     create_train_state, frame_from_batch, make_train_step,
 )
 
-B, J, C, N, H = 64, 21, 128, 1024, 32
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+JSON_OUT = sys.argv[2] if len(sys.argv) > 2 else None
+J, C, N, H = 21, 128, 1024, 32
 ITERS = 12
 cfg = Config(batch_size=B, compute_dtype='mixed', fast_topk=True)
-print("device:", jax.devices()[0].device_kind, flush=True)
+print("device:", jax.devices()[0].device_kind, "bs:", B, flush=True)
+RESULTS = {}
 
 batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
     batch_size=B, point_num=cfg.point_num, seed=0).items()}
@@ -68,6 +71,7 @@ def timed(name, fn, *args):
     jax.device_get(cc(*args))
     ms = (time.perf_counter() - t0) / (ITERS + 1) * 1000
     print(f"{name}: {ms:.2f} ms/step-component", flush=True)
+    RESULTS[name] = round(ms, 3)
     return ms
 
 
@@ -132,10 +136,10 @@ weight_map = jnp.asarray(rng.randn(B, H, H, J).astype(np.float32))
 joint_xyz = jnp.asarray(
     rng.uniform(-.8, .8, (B, J, 3)).astype(np.float32))
 block = FusionBlock(joint_num=J, dim=C, dtype=jnp.float32)
-bvars = jax.jit(block.init)(
-    {'params': jax.random.PRNGKey(2), 'dropout': jax.random.PRNGKey(3)},
-    img_feat, img_feat_rgb, batch['pcl'], joint_xyz, sampled, weight_map,
-    None, frame, img_down, 0.8, True)
+bvars = jax.jit(lambda r: block.init(
+    r, img_feat, img_feat_rgb, batch['pcl'], joint_xyz, sampled, weight_map,
+    None, frame, img_down, 0.8, True))(
+    {'params': jax.random.PRNGKey(2), 'dropout': jax.random.PRNGKey(3)})
 
 
 def blocks_grad(feat, params, bs):
@@ -158,9 +162,47 @@ def blocks_grad(feat, params, bs):
 timed("2x FusionBlock fwd+bwd (f32)", blocks_grad, img_feat,
       bvars['params'], bvars['batch_stats'])
 
-# ---- 4. full train step (reference point) ----
+# ---- 4. loss/decode tail fwd+bwd (dense stage decode + 4 loss terms) ----
+from keypointfusion_tpu.training.losses import compute_losses
+
+fs = cfg.input_size // 4
+dense = jnp.asarray(rng.randn(B, fs, fs, 5 * J).astype(np.float32))
+r2a = jnp.asarray(rng.randn(B, J, 3).astype(np.float32) * .3)
+sw_small = jnp.asarray(rng.rand(B, fs, fs, J).astype(np.float32))
+
+
+def loss_tail_grad(d):
+    def loss(dd):
+        total, _ = compute_losses(
+            (dd, dd * 1.01, r2a, r2a, r2a, r2a),
+            (sw_small, sw_small), batch['depth'], batch['uvd_gt'],
+            batch['xyz_gt'], frame, cfg, jnp.zeros((), jnp.int32))
+        return total
+    return jax.grad(loss)(d)
+
+
+timed("loss tail fwd+bwd", loss_tail_grad, dense)
+
+# ---- 5. full train step (reference point) ----
 state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
                            steps_per_epoch=100)
+
+# optimizer update alone (flattened AdamW on the full param vector)
+grads_like = jax.tree_util.tree_map(
+    lambda p: jnp.full(p.shape, 1e-3, p.dtype), state.params)
+
+
+def opt_update(gs):
+    up, _ = state.tx.update(gs, state.opt_state, state.params)
+    return up
+
+
+flat0 = jax.tree_util.tree_leaves(grads_like)[0]
+timed("optimizer update (flattened AdamW)",
+      lambda x, gs: opt_update(jax.tree_util.tree_map(
+          lambda g: g + x.mean().astype(g.dtype) * 0, gs)),
+      flat0, grads_like)
+
 step = make_train_step(cfg)
 rngs = jax.random.split(jax.random.PRNGKey(1), ITERS + 2)
 ep = jnp.zeros((), jnp.int32)
@@ -172,3 +214,13 @@ for i in range(ITERS):
 loss = float(jax.device_get(m['loss']))
 dt = (time.perf_counter() - t0) / ITERS * 1000
 print(f"full train step: {dt:.2f} ms/step (loss={loss:.3f})", flush=True)
+RESULTS['full train step'] = round(dt, 3)
+
+if JSON_OUT:
+    import json
+    payload = {'batch_size': B, 'device': jax.devices()[0].device_kind,
+               'compute_dtype': cfg.compute_dtype,
+               'components_ms': RESULTS}
+    with open(JSON_OUT, 'w') as f:
+        json.dump(payload, f, indent=1)
+    print('wrote', JSON_OUT, flush=True)
