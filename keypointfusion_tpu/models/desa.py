@@ -29,7 +29,7 @@ import flax.linen as nn
 from keypointfusion_tpu.models.norm import WeightedTorchBatchNorm
 
 from keypointfusion_tpu.ops.ball_query import (
-    ball_query_group_matmul, group_features_matmul,
+    ball_query_group_matmul, exclusive_rank, group_features_matmul,
 )
 from keypointfusion_tpu.ops.pairwise import pairwise_sqdist
 from keypointfusion_tpu.models.resnet import conv_init
@@ -48,7 +48,7 @@ def dense_group_masks(d2, radius: float, s: int):
     1 + (S - k) when the ball holds k < S points."""
     in_ball = d2 < (radius * radius)                       # [B,J,M]
     ib = in_ball.astype(jnp.int32)
-    rank_in = jnp.cumsum(ib, -1) - ib                      # exclusive
+    rank_in = exclusive_rank(in_ball)                      # exclusive
     sel_in = in_ball & (rank_in < s)
     k_total = jnp.sum(ib, -1, keepdims=True)
     n_fill = (s - jnp.minimum(k_total, s)).astype(jnp.float32)

@@ -62,24 +62,52 @@ def run(n_devices: int) -> None:
         f"({jax.devices()[0].platform})")
     assert jax.devices()[0].platform == 'cpu', jax.devices()[0]
 
+    import time
+    t_start = time.perf_counter()
+
+    def mark(section, extra=''):
+        # per-section wall-time so the driver's tail shows exactly where
+        # the budget goes (round-4 lesson: an opaque timeout)
+        print(f"dryrun_multichip({n_devices}) [{section}]: ok{extra} "
+              f"(t+{time.perf_counter() - t_start:.0f}s)", flush=True)
+
+    print(f"dryrun_multichip({n_devices}): starting "
+          f"(platform={jax.devices()[0].platform}, ndev={ndev})", flush=True)
+
     mesh = make_mesh(n_devices)
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_batch(batch_size=n_devices, point_num=128).items()}
 
     rng = jax.random.PRNGKey(0)
+    # ONE train state shared by both BN-policy sections and the eval/ckpt
+    # section — the state pytree is policy-independent (the policies differ
+    # only in the step executable), and each avoided create_train_state
+    # saves an optimizer init + device transfers on a 1-core box.
+    state0 = create_train_state(Config(), rng, batch, steps_per_epoch=10)
+    state0 = jax.device_put(state0, replicated_sharding(mesh))
+
+    def fresh_state():
+        # train_step donates arg 0; hand each section a genuinely fresh
+        # buffer copy (device_put alone is a no-op at the same sharding
+        # and would let the donation invalidate state0)
+        return jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                state0),
+            replicated_sharding(mesh))
+
+    mark('init', extra=', state built')
     for sync_bn in (True, False):
         cfg = Config(sync_batchnorm=sync_bn)
-        state = create_train_state(cfg, rng, batch, steps_per_epoch=10)
-        state = jax.device_put(state, replicated_sharding(mesh))
         sharded = shard_batch(batch, mesh)
         train_step = make_train_step(cfg, mesh)
-        state, metrics = train_step(state, sharded, jax.random.PRNGKey(1),
+        state, metrics = train_step(fresh_state(), sharded,
+                                    jax.random.PRNGKey(1),
                                     jnp.zeros((), jnp.int32))
         loss = float(metrics['loss'])
         assert np.isfinite(loss), f"non-finite loss {loss}"
         mode = 'sync-BN/jit' if sync_bn else 'per-shard-BN/shard_map'
-        print(f"dryrun_multichip({n_devices}) [{mode}]: ok, "
-              f"loss={loss:.4f}", flush=True)
+        mark(mode, extra=f", loss={loss:.4f}")
 
     # multi-chip SERVING: the whole streaming pipeline (on-device
     # preprocessing + forward) jitted with batch-sharded inputs and
@@ -99,8 +127,7 @@ def run(n_devices: int) -> None:
         np.tile(np.array([[150, 150, 80, 60]], np.float32), (bs, 1)))
     packed = np.asarray(out)
     assert np.isfinite(packed).all(), "non-finite serving output"
-    print(f"dryrun_multichip({n_devices}) [serving/SPMD]: ok, "
-          f"out={packed.shape}", flush=True)
+    mark('serving/SPMD', extra=f", out={packed.shape}")
 
     # sharded EVAL + metric chain and an Orbax round trip of the
     # mesh-placed TrainState — the two surfaces a real multi-chip run hits
@@ -116,8 +143,7 @@ def run(n_devices: int) -> None:
     from keypointfusion_tpu.training.trainer import Checkpointer
 
     cfg = Config(sync_batchnorm=True)
-    state = create_train_state(cfg, rng, batch, steps_per_epoch=10)
-    state = jax.device_put(state, replicated_sharding(mesh))
+    state = fresh_state()  # eval does not donate; shared state0 copy
     eval_step = make_eval_step(cfg, mesh)
     results, _ = eval_step(state, shard_batch(batch, mesh))
     frame = frame_from_batch(batch, cfg)
@@ -141,8 +167,7 @@ def run(n_devices: int) -> None:
         ck.save('latest', state, epoch=1, min_error=float(err.mean()),
                 plateau=0)
         # fresh replicated template (as a restarted run would build)
-        state2 = create_train_state(cfg, rng, batch, steps_per_epoch=10)
-        state2 = jax.device_put(state2, replicated_sharding(mesh))
+        state2 = fresh_state()
         restored, epoch, min_err, plateau = ck.restore('latest', state2)
         assert epoch == 1 and plateau == 0
         p0 = jax.tree_util.tree_leaves(state.params)[0]
@@ -150,8 +175,8 @@ def run(n_devices: int) -> None:
         np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
-    print(f"dryrun_multichip({n_devices}) [eval+ckpt]: ok, "
-          f"err={err.mean():.2f}mm pa={pa.mean():.2f}mm", flush=True)
+    mark('eval+ckpt', extra=f", err={err.mean():.2f}mm "
+         f"pa={pa.mean():.2f}mm")
 
 
 if __name__ == '__main__':

