@@ -70,8 +70,13 @@ def pcl_pixel_weights(closeness, index, hw: int):
     return w
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def sample_pixel_features(flat_feat, closeness, index, hw: int):
+def _resolve_precision(precision: str):
+    return jax.lax.Precision.HIGHEST if precision == 'highest' else None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sample_pixel_features(flat_feat, closeness, index, hw: int,
+                          precision: str = 'highest'):
     """All per-pixel feature lookups of a fusion block as ONE MXU matmul,
     with a memory-safe backward.
 
@@ -79,31 +84,39 @@ def sample_pixel_features(flat_feat, closeness, index, hw: int):
     closeness/index [B,N,K] top-k pixel weights → [B,N,C_total] f32.
 
     Forward: densify the weights to [B,N,HW] (pcl_pixel_weights) and ride
-    the MXU — numerically identical to the sparse gather-sum (HIGHEST
+    the MXU — numerically identical to the sparse gather-sum (at 'highest'
     precision, the extra terms are exact zeros). Backward: the weight
     matrix is RECOMPUTED from (closeness, index) — a cheap function of
     tiny inputs — instead of being saved, so the 1 GB [B,N,HW] f32 tensor
     at bs=256 never lives across the forward/backward boundary; this is
     what makes single-chip bs=256 training fit (round-2 OOM cause).
     closeness/index receive zero cotangents (the reference computes them
-    on the host with no gradient at all, loader.py:936-967)."""
+    on the host with no gradient at all, loader.py:936-967).
+
+    precision: 'highest' (exact f32, the parity default) or 'default'
+    (single-pass bf16 MXU). KPFusion passes 'default' when the sampled
+    maps come from a bf16 backbone — every sampled value is then already
+    bf16-exact, so only the f32 closeness weights round (~2^-8 relative),
+    matching the Pallas serving sampler's policy. The r05 device trace
+    showed these einsums at 3.4 ms/step of the 50 ms train step at
+    forced-HIGHEST."""
     w = pcl_pixel_weights(closeness, index, hw)
     return jnp.einsum('bnm,bmc->bnc', w, flat_feat.astype(jnp.float32),
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_resolve_precision(precision))
 
 
-def _sample_fwd(flat_feat, closeness, index, hw: int):
-    out = sample_pixel_features(flat_feat, closeness, index, hw)
+def _sample_fwd(flat_feat, closeness, index, hw: int, precision: str):
+    out = sample_pixel_features(flat_feat, closeness, index, hw, precision)
     # zero-size dtype witness: cotangents must match the primal dtype
     proto = jnp.zeros((0,), flat_feat.dtype)
     return out, (closeness, index, proto)
 
 
-def _sample_bwd(hw: int, res, g):
+def _sample_bwd(hw: int, precision: str, res, g):
     closeness, index, proto = res
     w = pcl_pixel_weights(closeness, index, hw)
     grad_flat = jnp.einsum('bnm,bnc->bmc', w, g.astype(jnp.float32),
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_resolve_precision(precision))
     zeros_cl = jnp.zeros_like(closeness)
     zeros_idx = np.zeros(index.shape, jax.dtypes.float0) \
         if jnp.issubdtype(index.dtype, jnp.integer) \

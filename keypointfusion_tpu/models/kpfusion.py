@@ -123,10 +123,16 @@ class KPFusion(nn.Module):
             # no gradient flows through the pixel weights (the reference
             # computes them on the host, loader.py:936-967) and the
             # sampler recomputes its dense [B,N,HW] form in the backward
-            # (geometry.pcl.sample_pixel_features)
+            # (geometry.pcl.sample_pixel_features). Precision follows the
+            # dtype of the maps being sampled: a bf16 backbone's values
+            # are bf16-exact, so the single-pass MXU product is enough
+            # (see sample_pixel_features docstring).
+            samp_prec = 'highest' \
+                if jnp.dtype(bb_dtype) == jnp.float32 else 'default'
             sampled = sample_pixel_features(
                 maps.reshape(maps.shape[0], h * h, -1),
-                jax.lax.stop_gradient(pcl_closeness), pcl_index, h * h)
+                jax.lax.stop_gradient(pcl_closeness), pcl_index, h * h,
+                samp_prec)
 
         results = [img_offset, img_offset_rgb]
         spatial_weights = []
