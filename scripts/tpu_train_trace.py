@@ -11,14 +11,13 @@ Usage: python scripts/tpu_train_trace.py [bs] [group] [--net NAME]
 
 from __future__ import annotations
 
-import glob
-import gzip
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # parse_xplane
 
 from keypointfusion_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -46,40 +45,6 @@ def build_scan(bs: int, group: int, net: str):
     scan = make_train_step_scan(cfg)
     rngs = jax.random.split(jax.random.PRNGKey(1), group)
     return scan, state, stacked, rngs
-
-
-def parse_xplane(trace_dir: str):
-    """Aggregate device-plane events by name from the newest xplane.pb."""
-    paths = sorted(glob.glob(os.path.join(
-        trace_dir, '**', '*.xplane.pb'), recursive=True),
-        key=os.path.getmtime)
-    if not paths:
-        return None, 'no xplane.pb found under ' + trace_dir
-    raw = open(paths[-1], 'rb').read()
-    if raw[:2] == b'\x1f\x8b':
-        raw = gzip.decompress(raw)
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    space = xplane_pb2.XSpace()
-    space.ParseFromString(raw)
-    planes = []
-    for plane in space.planes:
-        nm = plane.name.lower()
-        if 'tpu' in nm or 'device' in nm or 'gpu' in nm or 'xla op' in nm:
-            planes.append(plane)
-    if not planes:
-        planes = [p for p in space.planes if 'host' not in p.name.lower()]
-    agg = {}
-    plane_names = []
-    for plane in planes:
-        plane_names.append(plane.name)
-        emeta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            for ev in line.events:
-                name = emeta.get(ev.metadata_id, str(ev.metadata_id))
-                d = agg.setdefault(name, [0.0, 0])
-                d[0] += ev.duration_ps / 1e9  # ps -> ms
-                d[1] += 1
-    return {'planes': plane_names, 'ops': agg}, None
 
 
 def main():
@@ -121,7 +86,7 @@ def main():
         dt = time.perf_counter() - t0
     print(f'profiled dispatch: {dt*1e3:.1f} ms', flush=True)
 
-    parsed, err = parse_xplane(trace_dir)
+    from parse_xplane import analyze
     out = {
         'device_kind': dev.device_kind,
         'net': net,
@@ -130,24 +95,15 @@ def main():
         'wall_ms_per_step_unprofiled': round(dt_unprofiled / group * 1e3, 2),
         'wall_ms_per_step_profiled': round(dt / group * 1e3, 2),
     }
-    if err:
-        out['error'] = err
-        print('TRACE PARSE FAILED:', err, flush=True)
-    else:
-        agg = parsed['ops']
-        total = sum(v[0] for v in agg.values())
-        top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:25]
-        out['planes'] = parsed['planes']
-        out['device_total_ms'] = round(total, 2)
-        out['device_ms_per_step'] = round(total / group, 2)
-        out['top_ops'] = [
-            {'name': k, 'total_ms': round(v[0], 3),
-             'ms_per_step': round(v[0] / group, 3), 'count': v[1],
-             'pct': round(100 * v[0] / total, 1)}
-            for k, v in top]
-        for o in out['top_ops'][:15]:
-            print(f"  {o['pct']:5.1f}%  {o['ms_per_step']:8.3f} ms/step  "
-                  f"x{o['count']:<5d} {o['name'][:90]}", flush=True)
+    try:
+        out.update(analyze(trace_dir, group))
+        for r in out['by_opcode'][:15]:
+            print(f"  {r['ms_per_step']:8.3f} ms/step x"
+                  f"{r['ops_per_step']:<6d} {r['pct']:4.1f}%  {r['op']}",
+                  flush=True)
+    except Exception as e:
+        out['error'] = str(e)
+        print('TRACE PARSE FAILED:', e, flush=True)
     path = f'artifacts/train_trace_r05_bs{bs}{tag}.json'
     os.makedirs('artifacts', exist_ok=True)
     with open(path, 'w') as f:
