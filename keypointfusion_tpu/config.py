@@ -113,6 +113,17 @@ class Config:
     # per-executable fusion rounding — see test_resume_equivalence).
     # 1 = classic per-step dispatch.
     steps_per_dispatch: int = 1
+    # Run the optimizer update on ONE raveled parameter vector
+    # (optax.flatten) instead of ~230 per-leaf updates. True keeps
+    # trace+compile small (the per-leaf unroll is 43% of the step's jaxpr
+    # — minutes of XLA CPU compile in tests/dryrun); False removes the
+    # per-step ravel/unravel data movement: measured 44.8 -> 40.4 ms/step
+    # device time on v5e at bs=64 'mixed'
+    # (artifacts/train_trace_r05_bs64_leafopt.json vs the flattened
+    # trace). Math is identical either way (elementwise
+    # optimizers commute with ravel); checkpoints store whichever
+    # opt_state layout the run used, so restore with the same setting.
+    flatten_opt: bool = True
 
     @property
     def joint_num(self) -> int:

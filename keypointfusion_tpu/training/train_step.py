@@ -72,14 +72,17 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
         tx = optax.sgd(sched, momentum=0.9)
     else:
         raise ValueError(cfg.opt)
-    # Run the update on ONE raveled vector instead of ~230 leaves: the
-    # per-leaf unroll was 16.7k of the train step's 39k jaxpr eqns (43% of
-    # trace+compile time; minutes on the CPU test mesh, and real seconds on
-    # the TPU compile path). Elementwise optimizers are exact under
-    # ravel/unravel — same per-element math, torch-AdamW parity tests
-    # unaffected. Costs one concatenate + split per step (bandwidth-only,
-    # fused by XLA).
-    return optax.flatten(tx)
+    # flatten_opt=True: run the update on ONE raveled vector instead of
+    # ~230 leaves — the per-leaf unroll was 16.7k of the train step's 39k
+    # jaxpr eqns (43% of trace+compile time; minutes on the CPU test mesh,
+    # and real seconds on the TPU compile path). Elementwise optimizers
+    # are exact under ravel/unravel — same per-element math, torch-AdamW
+    # parity tests unaffected. Costs ravel/unravel data movement per
+    # step: measured 44.8 -> 40.4 ms/step device time at bs=64 'mixed'
+    # going flattened -> per-leaf on v5e
+    # (artifacts/train_trace_r05_bs64_leafopt.json), so TPU production
+    # runs set flatten_opt=False (see Config).
+    return optax.flatten(tx) if cfg.flatten_opt else tx
 
 
 # jitted-init cache: jax.jit caches on function identity, and model.init

@@ -71,10 +71,11 @@ class MetricsLogger:
 class Checkpointer:
     """Orbax best/latest checkpoints of the full train state.
 
-    Note: opt_state is the optax.flatten'd layout (moments as single
-    raveled vectors — see make_optimizer); checkpoints written before that
-    change carry per-leaf moment trees and would need a one-off ravel to
-    restore (none exist in practice)."""
+    Note: opt_state layout follows Config.flatten_opt (default: the
+    optax.flatten'd layout — moments as single raveled vectors, see
+    make_optimizer; flatten_opt=False stores per-leaf moment trees).
+    Restore uses the current state as the template, so a checkpoint must
+    be restored under the same flatten_opt it was written with."""
 
     def __init__(self, ckpt_dir: str):
         import orbax.checkpoint as ocp

@@ -28,13 +28,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_scan(bs: int, group: int, net: str):
+def build_scan(bs: int, group: int, net: str, flatten_opt: bool = True,
+               dtype: str = 'mixed'):
     from keypointfusion_tpu.config import Config
     from keypointfusion_tpu.data.synthetic import synthetic_batch
     from keypointfusion_tpu.training.train_step import (
         create_train_state, make_train_step_scan)
 
-    cfg = Config(net=net, compute_dtype='mixed', fast_topk=True)
+    cfg = Config(net=net, compute_dtype=dtype, fast_topk=True,
+                 flatten_opt=flatten_opt)
     batches = [synthetic_batch(batch_size=bs, point_num=cfg.point_num,
                                seed=s) for s in range(group)]
     stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
@@ -55,12 +57,22 @@ def main():
     for i, a in enumerate(sys.argv):
         if a == '--net':
             net = sys.argv[i + 1]
+    flatten_opt = '--no-flatten' not in sys.argv
+    dtype = 'mixed'
+    for i, a in enumerate(sys.argv):
+        if a == '--dtype':
+            dtype = sys.argv[i + 1]
     tag = '' if net == 'KPFusion-resnet-18' else '_cnxt'
+    if not flatten_opt:
+        tag += '_leafopt'
+    if dtype != 'mixed':
+        tag += f'_{dtype}'
 
     dev = jax.devices()[0]
     print(f'device: {dev.device_kind} ({dev.platform}) bs={bs} group={group}'
-          f' net={net}', flush=True)
-    scan, state, stacked, rngs = build_scan(bs, group, net)
+          f' net={net} flatten_opt={flatten_opt} dtype={dtype}', flush=True)
+    scan, state, stacked, rngs = build_scan(bs, group, net, flatten_opt,
+                                            dtype)
     ep = jnp.zeros((), jnp.int32)
 
     t0 = time.perf_counter()
@@ -92,6 +104,8 @@ def main():
         'net': net,
         'batch_size': bs,
         'group': group,
+        'flatten_opt': flatten_opt,
+        'compute_dtype': dtype,
         'wall_ms_per_step_unprofiled': round(dt_unprofiled / group * 1e3, 2),
         'wall_ms_per_step_profiled': round(dt / group * 1e3, 2),
     }

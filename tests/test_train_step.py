@@ -59,6 +59,39 @@ def test_train_step_multidevice_mesh(cfg):
     assert results[-1].shape == (8, cfg.joint_num, 3)
 
 
+def test_flatten_opt_equivalence(cfg):
+    """Config.flatten_opt only changes the opt_state LAYOUT, never the
+    math: AdamW is elementwise, so the raveled-vector update and the
+    per-leaf update must produce identical parameters and moments.
+    Tested at the optimizer level (a full per-leaf train-step compile
+    costs minutes on XLA CPU; the step factories share make_optimizer)."""
+    from keypointfusion_tpu.training.train_step import make_optimizer
+    rng = np.random.RandomState(0)
+    params = {
+        'conv': {'kernel': jnp.asarray(rng.randn(3, 3, 4, 8), jnp.float32),
+                 'bias': jnp.asarray(rng.randn(8), jnp.float32)},
+        'head': {'w': jnp.asarray(rng.randn(8, 21), jnp.float32)},
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape), p.dtype), params)
+    import optax
+    outs = {}
+    for flat in (True, False):
+        tx = make_optimizer(cfg.replace(flatten_opt=flat),
+                            steps_per_epoch=100)
+        opt_state = tx.init(params)
+        p = params
+        for _ in range(3):
+            updates, opt_state = tx.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+        outs[flat] = p
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(outs[True]),
+            jax.tree_util.tree_leaves_with_path(outs[False])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-7, err_msg=str(kp))
+
+
 def test_lr_schedule(cfg):
     from keypointfusion_tpu.training.train_step import make_lr_schedule
     sched = make_lr_schedule(cfg, steps_per_epoch=10)
