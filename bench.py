@@ -25,6 +25,7 @@ repeat-same-input loop report physically impossible numbers):
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -273,6 +274,41 @@ def _measure_training(batch_size, cfg, group=16):
     return scan_ms, batch_size / scan_ms * 1000.0, perstep_ms
 
 
+def _measure_train_e2e(cfg, bs=64, group=16, steps=32, frames=192):
+    """End-to-end training: real BatchLoader workers over an on-disk
+    synthetic dataset (eval-mode pipeline: the C++ crop/normalize/pcl
+    core) feeding the scan train step, loader + H2D + step overlapped
+    (round-4 verdict #6: all other train rows are pre-staged synthetic
+    batches). Reuses scripts/tpu_train_e2e_bench.py's machinery."""
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'scripts'))
+    from tpu_train_e2e_bench import DiskDataset, measure, write_frames
+
+    # group=16 matches _measure_training(64)'s scan length, so this row
+    # reuses that executable (fresh compiles are minutes on this link)
+
+    tmp = tempfile.mkdtemp(prefix='kpf_bench_e2e_')
+    try:
+        write_frames(tmp, frames)
+        ds = DiskDataset(tmp, frames, train=False)
+        sps, ms_step, _ = measure(ds, bs, group, steps, cfg)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # host memcpy bandwidth contextualizes the row: a bs=64 group is
+    # ~280 MB and the chip consumes it at ~540 MB/s, so a host below
+    # ~1 GB/s is the binding constraint regardless of loader design
+    # (this measurement VM: ~0.15 GB/s; production hosts: 10+ GB/s)
+    blk = np.zeros((128, 1000, 1000), np.uint8)
+    t0 = time.perf_counter()
+    _ = blk.copy()
+    host_gbps = blk.nbytes / (time.perf_counter() - t0) / 1e9
+    return sps, ms_step, host_gbps
+
+
 def main():
     import jax
     from keypointfusion_tpu.utils.compile_cache import \
@@ -292,20 +328,29 @@ def main():
         cfg.replace(fast_topk=True), batch_size=256, n_batches=10,
         n_runs=3)
 
-    # training: the production fast config — bf16 backbones + f32 fusion
-    # head, approx neighbor selection (exact selection stays the
-    # parity-eval default, Config.fast_topk)
-    tcfg = Config(compute_dtype='mixed', fast_topk=True)
+    # training: the RECOMMENDED production config — full bf16 (matches
+    # f32's final error across 3 seeds with the tightest spread,
+    # artifacts/precision_training_r05.json), per-leaf optimizer updates
+    # (flatten_opt=False: -4.4 ms/step of ravel traffic,
+    # artifacts/train_trace_r05_bs64_leafopt.json), approx neighbor
+    # selection (exact stays the parity-eval default). Rounds <= 4
+    # measured 'mixed'+flattened here; the step-by-step deltas between
+    # the two configs are the committed trace artifacts (62.4 -> 50.2
+    # rank-matmul -> 47.6 sampler-precision -> 45.7 per-leaf -> 32.5
+    # bf16, all bs=64).
+    tcfg = Config(compute_dtype='bfloat16', fast_topk=True,
+                  flatten_opt=False)
     train_ms64, train_sps64, train_ms64_ps = _measure_training(64, tcfg)
     train_ms256, train_sps256, _ = _measure_training(256, tcfg, group=8)
+    e2e_sps64, e2e_ms64, e2e_host_gbps = _measure_train_e2e(tcfg)
 
     # ConvNeXt-T — the reference's headline backbone family
     # (/root/reference/convNeXT/resnetUnet.py:60-248)
     ccfg = Config(net='KPFusion-convnext-T', compute_dtype='bfloat16')
     cnx_fps256, cnx_fps256_blocking, cnx_flops = _measure(256, ccfg)
     cnx_fps64, _, _ = _measure(64, ccfg)
-    ctcfg = Config(net='KPFusion-convnext-T', compute_dtype='mixed',
-                   fast_topk=True)
+    ctcfg = Config(net='KPFusion-convnext-T', compute_dtype='bfloat16',
+                   fast_topk=True, flatten_opt=False)
     cnx_train_ms64, cnx_train_sps64, _ = _measure_training(64, ctcfg,
                                                            group=8)
 
@@ -333,11 +378,16 @@ def main():
         "streaming_fps_bs64_min": round(stream64_min, 1),
         "streaming_fps_bs64_max": round(stream64_max, 1),
         "streaming_fps_bs256_median": round(stream256_med, 1),
+        "train_config": "bfloat16 + per-leaf opt (recommended; rounds<=4 "
+                        "measured mixed+flattened)",
         "train_ms_per_step_bs64": round(train_ms64, 2),
         "train_samples_per_sec_bs64": round(train_sps64, 1),
         "train_ms_per_step_bs64_perstep_dispatch": round(train_ms64_ps, 2),
         "train_ms_per_step_bs256": round(train_ms256, 2),
         "train_samples_per_sec_bs256": round(train_sps256, 1),
+        "train_e2e_samples_per_sec_bs64": round(e2e_sps64, 1),
+        "train_e2e_ms_per_step_bs64": round(e2e_ms64, 2),
+        "train_e2e_host_memcpy_gb_per_s": round(e2e_host_gbps, 3),
         "convnext_t_fps_bs256": round(cnx_fps256, 1),
         "convnext_t_fps_bs256_blocking": round(cnx_fps256_blocking, 1),
         "convnext_t_fps_bs64": round(cnx_fps64, 1),
