@@ -29,24 +29,40 @@ from keypointfusion_tpu.ops.pairwise import pairwise_sqdist
 
 
 def exclusive_rank(in_ball):
-    """Exclusive running count of True along the last axis, as an MXU
-    matmul: rank[..., m] = sum_{m'<m} in_ball[..., m'].
+    """Exclusive running count of True along the last axis, as a matmul
+    against strictly-lower-triangular ones:
+    rank[..., m] = sum_{m'<m} in_ball[..., m'].
 
     `jnp.cumsum` lowers to reduce-window on TPU, which measured 2.1 ms per
     [64,21,1045] s32 call on v5e — 12.7 ms/step across DESA's 6 calls, 21%
-    of the whole train step (artifacts/train_trace_r05_bs64.json). The same
-    rank as bf16 @ strictly-lower-triangular-ones with f32 accumulation is
-    ~3 GFLOP on the MXU (~15 us) and EXACT: 0/1 operands are exact in
-    bf16, MXU products are exact, and f32 accumulation is exact for counts
-    < 2^24 (M here is ~1e3).
+    of the whole train step (artifacts/train_trace_r05_bs64.json). As a
+    matmul it is ~3 GFLOP on the MXU (~15 us).
+
+    Exactness needs f32 ACCUMULATION of the 0/1 products. The TPU MXU
+    always accumulates f32 — DEFAULT precision is exact there (validated
+    bit-identical on v5e, scripts/tpu_check_desa.py) and runs as one bf16
+    pass (0/1 values are bf16-exact). XLA CPU is different: its matmuls
+    round through a bf16-ish fast path at DEFAULT even for f32 operands
+    (this build's known gotcha), which silently corrupted ball-query
+    membership in every f32 parity test (measured: maxdiff 357 on a
+    [8,21,1045] mask with bf16 operands; still inexact with f32 operands
+    at DEFAULT). So CPU pins Precision.HIGHEST — the backend is known at
+    trace time.
 
     in_ball: [..., M] bool → [..., M] int32."""
     m = in_ball.shape[-1]
-    lt = jnp.tril(jnp.ones((m, m), jnp.bfloat16), -1)       # LT[m',m]=m'<m
+    prec = jax.lax.Precision.HIGHEST \
+        if jax.default_backend() == 'cpu' else None
+    # contraction is over the FIRST axis of the mask matrix (m'), so the
+    # strict upper triangle gives U[m', m] = 1 iff m' < m. (The original
+    # round-5 version used tril(-1) — transposed, i.e. suffix counts —
+    # which silently selected the LAST S in-ball members on TPU and broke
+    # every f32 parity test; caught by the suite, not the bench.)
+    ut = jnp.triu(jnp.ones((m, m), jnp.float32), 1)
     rank_f = jax.lax.dot_general(
-        in_ball.astype(jnp.bfloat16), lt,
+        in_ball.astype(jnp.float32), ut,
         (((in_ball.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        precision=prec, preferred_element_type=jnp.float32)
     return rank_f.astype(jnp.int32)
 
 

@@ -82,7 +82,9 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
     # going flattened -> per-leaf on v5e
     # (artifacts/train_trace_r05_bs64_leafopt.json), so TPU production
     # runs set flatten_opt=False (see Config).
-    return optax.flatten(tx) if cfg.flatten_opt else tx
+    # getattr: callers may pass a minimal config stub without the field
+    # (e.g. the torch-AdamW parity test's _C)
+    return optax.flatten(tx) if getattr(cfg, 'flatten_opt', True) else tx
 
 
 # jitted-init cache: jax.jit caches on function identity, and model.init

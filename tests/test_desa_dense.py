@@ -83,3 +83,20 @@ def test_dense_train_gradients_flow(data):
     g = jax.grad(loss, argnums=(0, 1))(v['params'], pf)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_exclusive_rank_matches_cumsum():
+    """exclusive_rank (the MXU-matmul rank) must equal the cumsum
+    definition BIT-EXACTLY on every backend and density. Guards two
+    round-5 regressions: the transposed triangle (suffix counts — picked
+    the LAST S in-ball members) and CPU oneDNN's bf16 accumulation
+    (counts > 256 rounded)."""
+    from keypointfusion_tpu.ops.ball_query import exclusive_rank
+    rng = np.random.RandomState(0)
+    for p in (0.0, 0.05, 0.3, 0.9, 1.0):
+        for shape in ((8, 21, 1045), (2, 5, 64)):
+            ib = rng.rand(*shape) < p
+            want = np.cumsum(ib.astype(np.int32), -1) - ib.astype(np.int32)
+            got = np.asarray(jax.jit(exclusive_rank)(jnp.asarray(ib)))
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f'p={p} shape={shape}')

@@ -43,11 +43,14 @@ def _delta_mm(model, variables, batch, frame, want):
 
 # Measured on RANDOM-INIT weights (a pessimistic bound: the untrained
 # two-stage refinement cascade amplifies perturbations; trained weights
-# contract toward the target): bf16 1.43 mm, mixed 0.88 mm (CPU, 8
-# synthetic frames). Consequence for the precision policy (docs/DESIGN.md):
-# accuracy-parity eval runs f32 (the Config default); bf16 is the
-# throughput-serving mode. These asserts are regression guards at ~1.5x
-# the measured values.
+# contract toward the target): bf16 1.43 mm; mixed 0.88 mm before round
+# 5, 1.77 mm after the pixel sampler's matmul precision started
+# following the backbone dtype (geometry/pcl.sample_pixel_features —
+# with bf16 backbones the sampled values are bf16-exact, so only the f32
+# closeness weights round; the gate bought 3.4 ms/train-step on v5e).
+# Consequence for the precision policy (docs/DESIGN.md): accuracy-parity
+# eval runs f32 (the Config default); bf16 is the throughput-serving
+# mode. These asserts are regression guards at ~1.5x measured.
 
 def test_bf16_forward_delta(setup):
     cfg, batch, frame, variables, want = setup
@@ -63,4 +66,4 @@ def test_mixed_forward_delta(setup):
                      backbone_dtype=jnp.bfloat16)
     delta = _delta_mm(model, variables, batch, frame, want)
     print(f'mixed (bf16 backbones) vs f32 forward delta: {delta:.4f} mm')
-    assert delta < 1.4
+    assert delta < 2.7
