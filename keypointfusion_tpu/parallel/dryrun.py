@@ -44,6 +44,14 @@ def _force_cpu(n_devices: int) -> None:
         flags += ['--xla_backend_optimization_level=0',
                   '--xla_llvm_disable_expensive_passes=true']
     os.environ['XLA_FLAGS'] = ' '.join(flags)
+    # CRITICAL: jax's persistent-cache key does NOT include env-var XLA
+    # flags, so opt0-compiled executables are indistinguishable from
+    # full-effort ones by key. Writing them into the shared cache poisons
+    # the test suite (observed: 7 tight-tolerance parity failures loading
+    # opt0 executables). Keep this run's entries in a separate directory.
+    os.environ.setdefault(
+        'KPF_COMPILE_CACHE',
+        os.path.expanduser('~/.cache/kpf_xla_dryrun_opt0'))
 
 
 def run(n_devices: int) -> None:

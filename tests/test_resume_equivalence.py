@@ -135,8 +135,14 @@ def test_scan_dispatch_matches_per_step():
     b0 = collate([ds[i] for i in range(4)])
     b1 = collate([ds[i] for i in range(4, 8)])
     with jax.default_matmul_precision('highest'):
+        # steps_per_epoch=3 matches test_steps_per_dispatch_trainer_
+        # equivalence's Trainer (ds12/bs4): the schedule divisor is baked
+        # into the HLO, and matching it lets that test reuse this test's
+        # compiled executables via the persistent cache (each full-model
+        # XLA CPU compile costs minutes on the 1-core suite box).
+        # Semantics unchanged: both steps run in epoch 0 either way.
         state0 = create_train_state(cfg, jax.random.PRNGKey(0), b0,
-                                    steps_per_epoch=2)
+                                    steps_per_epoch=3)
         host0 = jax.device_get(state0)
         rngs = jax.random.split(jax.random.PRNGKey(5), 2)
         ep = jnp.asarray(0, jnp.int32)
@@ -170,29 +176,37 @@ def test_steps_per_dispatch_trainer_equivalence(tmp_path):
 
     ds = SyntheticDataset(12)   # 3 batches of 4 per epoch -> tail of 1
     cfg = _mk_cfg(epochs=2, opt='sgd', steps_per_dispatch=2)
-    t = Trainer(cfg, train_data=ds, test_data=None,
-                model_dir=str(tmp_path / 'scan'), use_mesh=False)
-    assert t.train_scan is not None
-    init = jax.device_get(t.state)           # train() donates the state
-    base_rng = np.asarray(t._rng)
-    t.train()
-    trained = jax.device_get(t.state)
+    # default_matmul_precision('highest') matches test_scan_dispatch_
+    # matches_per_step's context, so this test's per-step and scan
+    # executables are the SAME HLO that test already compiled (persistent
+    # cache hit — the assertion below is trained-vs-replayed through
+    # identical executables, so the ambient precision cannot affect it)
+    with jax.default_matmul_precision('highest'):
+        t = Trainer(cfg, train_data=ds, test_data=None,
+                    model_dir=str(tmp_path / 'scan'), use_mesh=False)
+        assert t.train_scan is not None
+        init = jax.device_get(t.state)       # train() donates the state
+        base_rng = np.asarray(t._rng)
+        t.train()
+        trained = jax.device_get(t.state)
 
-    # hand replay: same loader seeds -> same batch order; same rng stream
-    state = init
-    for epoch in range(cfg.max_epoch):
-        loader = BatchLoader(ds, cfg.batch_size, shuffle=True,
-                             num_workers=2, seed=cfg.seed + epoch)
-        batches = list(loader)
-        assert len(batches) == 3
-        step_rngs = jax.random.split(
-            jax.random.fold_in(jnp.asarray(base_rng), epoch), len(batches))
-        ep = jnp.asarray(epoch, jnp.int32)
-        stacked = {k: np.stack([batches[0][k], batches[1][k]])
-                   for k in batches[0]}
-        state, _ = t.train_scan(state, stacked, step_rngs[:2], ep)
-        state, _ = t.train_step(state, batches[2], step_rngs[2], ep)
-    replayed = jax.device_get(state)
+        # hand replay: same loader seeds -> same batch order; same rng
+        # stream
+        state = init
+        for epoch in range(cfg.max_epoch):
+            loader = BatchLoader(ds, cfg.batch_size, shuffle=True,
+                                 num_workers=2, seed=cfg.seed + epoch)
+            batches = list(loader)
+            assert len(batches) == 3
+            step_rngs = jax.random.split(
+                jax.random.fold_in(jnp.asarray(base_rng), epoch),
+                len(batches))
+            ep = jnp.asarray(epoch, jnp.int32)
+            stacked = {k: np.stack([batches[0][k], batches[1][k]])
+                       for k in batches[0]}
+            state, _ = t.train_scan(state, stacked, step_rngs[:2], ep)
+            state, _ = t.train_step(state, batches[2], step_rngs[2], ep)
+        replayed = jax.device_get(state)
 
     assert int(trained.step) == 6
     _assert_state_equal(trained, replayed, atol=0.0)

@@ -71,19 +71,26 @@ def test_scheduler_options():
 def test_lr_scale_scales_update():
     """TrainState.lr_scale must scale the applied update exactly (used by
     scheduler='auto' plateau decay)."""
-    cfg = Config(batch_size=2, point_num=128)
-    batch = _batch()
-    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    # bs=4 + steps_per_epoch=2 match test_resume_equivalence's Trainer
+    # executables exactly (same HLO -> persistent-cache hit instead of a
+    # fresh ~2 min full-model XLA CPU compile; the lr_scale semantics
+    # under test are batch-size-independent)
+    cfg = Config(batch_size=4, point_num=128)
+    batch = _batch(n=4)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=2)
     step = make_train_step(cfg, mesh=None)
     rng = jax.random.PRNGKey(1)
     ep = jnp.zeros((), jnp.int32)
 
     s_full, _ = step(state, batch, rng, ep)
-    state2 = create_train_state(cfg, jax.random.PRNGKey(0), batch).replace(
+    state2 = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                steps_per_epoch=2).replace(
         lr_scale=jnp.asarray(0.0, jnp.float32))
     s_zero, _ = step(state2, batch, rng, ep)
     # zero scale → params unchanged
-    ref = create_train_state(cfg, jax.random.PRNGKey(0), batch).params
+    ref = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                             steps_per_epoch=2).params
     for a, b in zip(jax.tree_util.tree_leaves(s_zero.params),
                     jax.tree_util.tree_leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
